@@ -1,0 +1,551 @@
+"""The differentiable wavefront path tracer.
+
+TPU-native re-design of the reference render core:
+  * orchestration        — src/pathtracer.cpp:177-945
+  * primary contribution — src/primary_contribution.cpp:6-437
+  * bounce contribution  — src/path_contribution.cpp:5-154
+  * light sampling       — src/scene.cpp:692-759
+
+Architectural mapping (CUDA wavefront -> JAX/XLA):
+  * `parallel_for` over compacted pixel worklists  -> fully vectorized ops
+    over a fixed (num_pixels,) axis with boolean activity masks.  Masking
+    wastes lanes the compaction would have culled, but keeps shapes static
+    for XLA; sort-based compaction is a later optimization (SURVEY §7).
+  * per-sample loop (src/pathtracer.cpp:240)       -> lax.scan over samples,
+    bounding memory at O(pixels) exactly like the reference.
+  * atomic gradient scatter                        -> JAX reverse-mode AD of
+    this function; scatters become gathers' adjoints (segment sums) under
+    XLA, replacing every hand-written d_* kernel.
+  * discrete quantities (hit ids, occlusion, RNG, CDF picks) are
+    stop-gradiented — identical in spirit to the reference treating
+    visibility as piecewise-constant and handling its derivative via edge
+    sampling (redner_tpu.edge).
+
+Continuous-parameter gradients are obtained with jax.grad of `render`;
+`render` is also wrapped in a custom_vjp that adds the edge-sampling
+visibility gradients (primary + secondary) on top of the AD cotangents.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+import redner_tpu.sampler as sampler_mod
+from redner_tpu import accel
+from redner_tpu.camera import Camera, sample_primary_rays
+from redner_tpu.channels import ChannelInfo, Channels
+from redner_tpu.core import vecmath as vm
+from redner_tpu.core.types import Intersection, Ray, RayDifferential, SurfacePoint
+from redner_tpu.envmap import envmap_eval, envmap_pdf, envmap_sample
+from redner_tpu.geometry import build_surface_point, sample_tri_point
+from redner_tpu.material import (LocalMaterial, bsdf, bsdf_pdf, bsdf_sample,
+                                 perturb_shading_frame)
+from redner_tpu.sampler import SamplerType
+from redner_tpu.scene import (FlatScene, Scene, fetch_local_material,
+                              flatten_scene, gather_face_corner_attribs,
+                              gather_face_vertices)
+
+
+class RenderOptions:
+    """Static render configuration (reference RenderOptions,
+    src/redner.cpp:207-216)."""
+
+    def __init__(
+        self,
+        num_samples: int = 4,
+        max_bounces: int = 1,
+        channels: Sequence[Channels] = (Channels.radiance,),
+        sampler_type: SamplerType = SamplerType.independent,
+        sample_pixel_center: bool = False,
+        use_primary_edge_sampling: bool = True,
+        use_secondary_edge_sampling: bool = True,
+        num_edge_samples: Optional[int] = None,
+        max_generic_texture_dimension: int = 16,
+    ):
+        self.num_samples = int(num_samples)
+        self.max_bounces = int(max_bounces)
+        self.channel_info = ChannelInfo(channels, max_generic_texture_dimension)
+        self.sampler_type = sampler_type
+        self.sample_pixel_center = bool(sample_pixel_center)
+        self.use_primary_edge_sampling = bool(use_primary_edge_sampling)
+        self.use_secondary_edge_sampling = bool(use_secondary_edge_sampling)
+        # Edge rays per pixel-sample in the backward pass
+        self.num_edge_samples = num_edge_samples
+
+    # Hashable so it can be a static jit argument.
+    def _key(self):
+        return (
+            self.num_samples,
+            self.max_bounces,
+            self.channel_info.channels,
+            self.channel_info.max_generic_texture_dimension,
+            self.sampler_type,
+            self.sample_pixel_center,
+            self.use_primary_edge_sampling,
+            self.use_secondary_edge_sampling,
+            self.num_edge_samples,
+        )
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, RenderOptions) and self._key() == other._key()
+
+
+def _surface_point_at(fs: FlatScene, isect: Intersection, ray: Ray,
+                      ray_diff: RayDifferential):
+    """Differentiable surface point from a (non-diff) hit record."""
+    v0, v1, v2 = gather_face_vertices(fs, isect.tri_id)
+    (uv0, uv1, uv2, n0, n1, n2, has_n, c0, c1, c2) = gather_face_corner_attribs(
+        fs, isect.tri_id
+    )
+    return build_surface_point(
+        v0, v1, v2, uv0, uv1, uv2, n0, n1, n2, has_n, c0, c1, c2, ray, ray_diff
+    )
+
+
+def _face_emission(fs: FlatScene, tri_id, wi_dot_n):
+    """Area-light emission toward wi for hit faces; zeros for non-emitters.
+
+    wi_dot_n: dot(wi, shading normal) used for the two-sided test
+    (src/primary_contribution.cpp:13-23).
+    """
+    tid = jnp.clip(tri_id, 0, fs.num_triangles - 1)
+    lid = fs.face_light_id[tid]
+    is_light = lid >= 0
+    if fs.num_area_lights == 0:
+        return jnp.zeros(tri_id.shape + (3,), fs.vertices.dtype), is_light
+    lid_c = jnp.clip(lid, 0, fs.num_area_lights - 1)
+    intensity = fs.light_intensity[lid_c]
+    two_sided = fs.light_two_sided[lid_c]
+    visible = fs.light_directly_visible[lid_c]
+    ok = is_light & visible & (two_sided | (wi_dot_n > 0))
+    return jnp.where(ok[..., None], intensity, 0.0), is_light
+
+
+def _accumulate_primary(
+    fs: FlatScene,
+    ci: ChannelInfo,
+    active,
+    throughput,
+    ray: Ray,
+    ray_diff: RayDifferential,
+    isect: Intersection,
+    sp: SurfacePoint,
+    lm: LocalMaterial,
+    weight,
+):
+    """Emission + all G-buffer channels at the primary hit
+    (src/primary_contribution.cpp:6-437).  Returns (n, C)."""
+    n = isect.tri_id.shape[0]
+    dtype = sp.position.dtype
+    img = jnp.zeros((n, ci.num_total_dimensions), dtype)
+    valid = active & isect.valid
+    vmask = valid[..., None]
+
+    wi = -ray.dir
+    for ch, off in zip(ci.channels, ci.offsets):
+        if ch == Channels.radiance:
+            emission, _ = _face_emission(fs, isect.tri_id, vm.dot(wi, sp.frame_n))
+            emission = jnp.where(vmask, emission, 0.0)
+            if fs.has_envmap and fs.envmap.directly_visible:
+                env = envmap_eval(fs.envmap, ray.dir, ray_diff)
+                emission = jnp.where(
+                    (active & ~isect.valid)[..., None], env, emission
+                )
+            img = img.at[:, off : off + 3].add(weight * throughput * emission)
+        elif ch == Channels.alpha:
+            img = img.at[:, off].add(jnp.where(valid, weight, 0.0))
+        elif ch == Channels.depth:
+            depth = vm.distance(ray.org, sp.position)
+            img = img.at[:, off].add(jnp.where(valid, weight * depth, 0.0))
+        elif ch == Channels.position:
+            img = img.at[:, off : off + 3].add(
+                jnp.where(vmask, weight * sp.position, 0.0)
+            )
+        elif ch == Channels.geometry_normal:
+            img = img.at[:, off : off + 3].add(
+                jnp.where(vmask, weight * sp.geom_normal, 0.0)
+            )
+        elif ch == Channels.shading_normal:
+            _, _, pn = perturb_shading_frame(lm, sp)
+            img = img.at[:, off : off + 3].add(jnp.where(vmask, weight * pn, 0.0))
+        elif ch == Channels.uv:
+            img = img.at[:, off : off + 2].add(jnp.where(vmask, weight * sp.uv, 0.0))
+        elif ch == Channels.barycentric_coordinates:
+            img = img.at[:, off : off + 2].add(
+                jnp.where(vmask, weight * sp.barycentric, 0.0)
+            )
+        elif ch == Channels.diffuse_reflectance:
+            img = img.at[:, off : off + 3].add(
+                jnp.where(vmask, weight * lm.diffuse, 0.0)
+            )
+        elif ch == Channels.specular_reflectance:
+            img = img.at[:, off : off + 3].add(
+                jnp.where(vmask, weight * lm.specular, 0.0)
+            )
+        elif ch == Channels.roughness:
+            img = img.at[:, off].add(jnp.where(valid, weight * lm.roughness, 0.0))
+        elif ch == Channels.generic_texture:
+            gd = ci.max_generic_texture_dimension
+            from redner_tpu.scene import _fetch_material_stack
+
+            mid = fs.face_material_id[jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)]
+            gen = _fetch_material_stack(
+                fs.mat_generic, sp.uv, sp.du_dxy, sp.dv_dxy, mid, gd
+            )
+            img = img.at[:, off : off + gd].add(jnp.where(vmask, weight * gen, 0.0))
+        elif ch == Channels.vertex_color:
+            img = img.at[:, off : off + 3].add(jnp.where(vmask, weight * sp.color, 0.0))
+        elif ch == Channels.shape_id:
+            img = img.at[:, off].add(
+                jnp.where(valid, weight * isect.shape_id.astype(dtype), 0.0)
+            )
+        elif ch == Channels.triangle_id:
+            img = img.at[:, off].add(
+                jnp.where(valid, weight * isect.tri_id.astype(dtype), 0.0)
+            )
+        elif ch == Channels.material_id:
+            mid = fs.face_material_id[jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)]
+            img = img.at[:, off].add(
+                jnp.where(valid, weight * mid.astype(dtype), 0.0)
+            )
+    return img
+
+
+def _sample_light_point(fs: FlatScene, sp_pos, light_uniforms):
+    """NEE light/triangle/point selection (src/scene.cpp:692-759).
+
+    light_uniforms: (n, 4) = (light_sel, tri_sel, uv0, uv1).
+    Returns dict with shadow Ray, light point data, masks.
+    """
+    n = sp_pos.shape[0]
+    dtype = sp_pos.dtype
+    num_lights = fs.num_lights
+    sg = jax.lax.stop_gradient
+    light_id = jnp.clip(
+        jnp.searchsorted(fs.light_cdf, light_uniforms[:, 0], side="right") - 1,
+        0,
+        num_lights - 1,
+    )
+    is_env = fs.has_envmap & (light_id == num_lights - 1)
+
+    out = {}
+    if fs.num_area_lights > 0:
+        lidx = jnp.clip(light_id, 0, fs.num_area_lights - 1)
+        row_cdf = fs.light_tri_cdf[lidx]  # (n, Tmax)
+        tmaxn = row_cdf.shape[-1]
+        tri_ofs = jnp.clip(
+            jax.vmap(lambda row, s: jnp.searchsorted(row, s, side="right"))(
+                row_cdf, light_uniforms[:, 1]
+            )
+            - 1,
+            0,
+            tmaxn - 1,
+        )
+        face = fs.light_tri_face[lidx, tri_ofs]
+        v0, v1, v2 = gather_face_vertices(fs, face)
+        lpos, lnormal, lbary = sample_tri_point(v0, v1, v2, light_uniforms[:, 2:4])
+        ldir = lpos - sp_pos
+        dist = vm.length(ldir)
+        wo = vm.normalize(ldir)
+        out["area_light_id"] = lidx
+        out["light_pos"] = lpos
+        out["light_normal"] = lnormal
+        out["light_face"] = sg(face)
+        out["area_wo"] = wo
+        out["area_dist"] = dist
+        shadow_area = Ray(
+            org=sp_pos,
+            dir=wo,
+            tmin=jnp.full((n,), 1e-3, dtype),
+            tmax=(1.0 - 1e-3) * sg(dist),
+        )
+    else:
+        shadow_area = None
+
+    if fs.has_envmap:
+        env_dir = envmap_sample(fs.envmap, light_uniforms[:, 2:4])
+        out["env_dir"] = env_dir
+        shadow_env = Ray(
+            org=sp_pos,
+            dir=env_dir,
+            tmin=jnp.full((n,), 1e-3, dtype),
+            tmax=jnp.full((n,), jnp.inf, dtype),
+        )
+    else:
+        shadow_env = None
+
+    if shadow_area is not None and shadow_env is not None:
+        m = is_env[..., None]
+        shadow_ray = Ray(
+            org=sp_pos,
+            dir=jnp.where(m, shadow_env.dir, shadow_area.dir),
+            tmin=shadow_area.tmin,
+            tmax=jnp.where(is_env, shadow_env.tmax, shadow_area.tmax),
+        )
+    elif shadow_env is not None:
+        shadow_ray = shadow_env
+    else:
+        shadow_ray = shadow_area
+    out["light_id"] = sg(light_id)
+    out["is_env"] = sg(is_env)
+    out["shadow_ray"] = shadow_ray
+    return out
+
+
+def _nee_contribution(fs, lm, sp, wi, min_rough, ls, blocked):
+    """NEE contribution with MIS (src/path_contribution.cpp:28-70)."""
+    n = wi.shape[0]
+    dtype = wi.dtype
+    nee = jnp.zeros((n, 3), dtype)
+    if fs.num_area_lights > 0:
+        lidx = ls["area_light_id"]
+        lpos = ls["light_pos"]
+        lnormal = ls["light_normal"]
+        dirv = lpos - sp.position
+        dist_sq = vm.length_squared(dirv)
+        ok = dist_sq > 1e-20
+        wo = vm.normalize(dirv)
+        intensity = fs.light_intensity[lidx]
+        two_sided = fs.light_two_sided[lidx]
+        front = two_sided | (vm.dot(-wo, lnormal) > 0)
+        bsdf_val = bsdf(lm, sp, wi, wo, min_rough)
+        geom_term = vm.safe_div(jnp.abs(vm.dot(wo, lnormal)), dist_sq)
+        pdf_nee = vm.safe_div(fs.light_pmf[lidx], fs.light_areas[lidx])
+        pdf_b = bsdf_pdf(lm, sp, wi, wo, min_rough) * geom_term
+        mis = 1.0 / (1.0 + vm.square(vm.safe_div(pdf_b, pdf_nee)))
+        contrib = (
+            (mis * geom_term * vm.safe_div(jnp.ones_like(pdf_nee), pdf_nee))[..., None]
+            * bsdf_val
+            * intensity
+        )
+        ok = ok & front & (pdf_nee > 0) & ~ls["is_env"] & ~blocked
+        nee = nee + jnp.where(ok[..., None], contrib, 0.0)
+    if fs.has_envmap:
+        wo = ls["env_dir"]
+        env_id = fs.num_lights - 1
+        light_pmf = fs.light_pmf[env_id]
+        pdf_nee = envmap_pdf(fs.envmap, wo) * light_pmf
+        ok = (pdf_nee > 0) & ls["is_env"] & ~blocked
+        bsdf_val = bsdf(lm, sp, wi, wo, min_rough)
+        zero_diff = RayDifferential.zero(wo.shape[:-1], wo.dtype)
+        light_contrib = envmap_eval(fs.envmap, wo, zero_diff)
+        pdf_b = bsdf_pdf(lm, sp, wi, wo, min_rough)
+        mis = 1.0 / (1.0 + vm.square(vm.safe_div(pdf_b, pdf_nee)))
+        contrib = (mis * vm.safe_div(jnp.ones_like(pdf_nee), pdf_nee))[..., None] * (
+            bsdf_val * light_contrib
+        )
+        nee = nee + jnp.where(ok[..., None], contrib, 0.0)
+    return nee
+
+
+def _scatter_contribution(
+    fs, lm, sp, wi, min_rough, bsdf_ray, bsdf_isect, bsdf_sp
+):
+    """BSDF-sampling contribution with MIS + throughput update factor
+    (src/path_contribution.cpp:71-127).  Returns (scatter_contrib (n,3),
+    scatter_bsdf (n,3) = bsdf/pdf for the throughput update, alive mask)."""
+    n = wi.shape[0]
+    dtype = wi.dtype
+    scatter = jnp.zeros((n, 3), dtype)
+    scatter_bsdf = jnp.zeros((n, 3), dtype)
+
+    hit = bsdf_isect.valid
+    dirv = bsdf_sp.position - sp.position
+    dist_sq = vm.length_squared(dirv)
+    wo_hit = vm.normalize(dirv)
+    pdf_b_hit = bsdf_pdf(lm, sp, wi, wo_hit, min_rough)
+    ok_hit = hit & (dist_sq > 1e-20) & (pdf_b_hit > 1e-20)
+    bsdf_val_hit = bsdf(lm, sp, wi, wo_hit, min_rough)
+    # Emissive hit -> MIS light contribution
+    emission, is_light = _face_emission_nee(fs, bsdf_isect, wo_hit, bsdf_sp)
+    if fs.num_area_lights > 0:
+        tid = jnp.clip(bsdf_isect.tri_id, 0, fs.num_triangles - 1)
+        lid = jnp.clip(fs.face_light_id[tid], 0, fs.num_area_lights - 1)
+        geom_term = vm.safe_div(jnp.abs(vm.dot(wo_hit, bsdf_sp.geom_normal)), dist_sq)
+        pdf_nee = vm.safe_div(
+            vm.safe_div(fs.light_pmf[lid], fs.light_areas[lid]), geom_term
+        )
+        mis = 1.0 / (1.0 + vm.square(vm.safe_div(pdf_nee, pdf_b_hit)))
+        lcontrib = (mis * vm.safe_div(jnp.ones_like(pdf_b_hit), pdf_b_hit))[
+            ..., None
+        ] * (bsdf_val_hit * emission)
+        scatter = scatter + jnp.where(
+            (ok_hit & is_light)[..., None], lcontrib, 0.0
+        )
+    scatter_bsdf = jnp.where(
+        ok_hit[..., None],
+        bsdf_val_hit * vm.safe_div(jnp.ones_like(pdf_b_hit), pdf_b_hit)[..., None],
+        0.0,
+    )
+
+    if fs.has_envmap:
+        # Escaped ray hits the environment (path terminates)
+        wo_env = bsdf_ray.dir
+        pdf_b_env = bsdf_pdf(lm, sp, wi, wo_env, min_rough)
+        ok_env = (~hit) & (vm.length_squared(wo_env) > 0) & (pdf_b_env > 1e-20)
+        bsdf_val_env = bsdf(lm, sp, wi, wo_env, min_rough)
+        zero_diff = RayDifferential.zero(wo_env.shape[:-1], wo_env.dtype)
+        light_contrib = envmap_eval(fs.envmap, wo_env, zero_diff)
+        env_id = fs.num_lights - 1
+        pdf_nee = envmap_pdf(fs.envmap, wo_env) * fs.light_pmf[env_id]
+        mis = 1.0 / (1.0 + vm.square(vm.safe_div(pdf_nee, pdf_b_env)))
+        contrib = (mis * vm.safe_div(jnp.ones_like(pdf_b_env), pdf_b_env))[
+            ..., None
+        ] * (bsdf_val_env * light_contrib)
+        scatter = scatter + jnp.where(ok_env[..., None], contrib, 0.0)
+
+    return scatter, scatter_bsdf
+
+
+def _face_emission_nee(fs, isect, wo, sp_light):
+    """Emission of a BSDF-sampled hit toward -wo, with two-sided test
+    (src/path_contribution.cpp:80-90)."""
+    tid = jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)
+    lid = fs.face_light_id[tid]
+    is_light = isect.valid & (lid >= 0)
+    if fs.num_area_lights == 0:
+        return jnp.zeros(wo.shape, wo.dtype), is_light
+    lidc = jnp.clip(lid, 0, fs.num_area_lights - 1)
+    intensity = fs.light_intensity[lidc]
+    two_sided = fs.light_two_sided[lidc]
+    front = two_sided | (vm.dot(-wo, sp_light.frame_n) > 0)
+    ok = is_light & front
+    return jnp.where(ok[..., None], intensity, 0.0), ok
+
+
+def render_sample(
+    fs: FlatScene,
+    camera: Camera,
+    options: RenderOptions,
+    seed,
+    sample_id,
+    jitter=None,
+    primary_rays=None,
+):
+    """Trace one sample per pixel; returns (num_pixels, C) contribution
+    (unweighted — caller averages over samples).
+
+    `jitter`/`primary_rays` overrides exist for the edge-sampling passes,
+    which trace full paths from externally supplied rays
+    (src/pathtracer.cpp:766-934 analog).
+    """
+    ci = options.channel_info
+    top, left, bottom, right = camera.viewport_or_full
+    n = (right - left) * (bottom - top)
+    pixel_ids = jnp.arange(n, dtype=jnp.int32)
+    dtype = fs.vertices.dtype
+
+    dim = sampler_mod.DimAllocator()
+    cam_dim = dim.next(sampler_mod.CAMERA_DIMS)
+    if primary_rays is None:
+        if jitter is None:
+            if options.sample_pixel_center:
+                jitter = jnp.full((n, 2), 0.5, dtype)
+            else:
+                jitter = sampler_mod.uniforms(seed, pixel_ids, sample_id, cam_dim, 2)
+        ray, ray_diff = sample_primary_rays(camera, jitter)
+    else:
+        ray, ray_diff = primary_rays
+
+    isect = accel.intersect(fs, ray)
+    sp, ray_diff = _surface_point_at(fs, isect, ray, ray_diff)
+    mid = fs.face_material_id[jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)]
+    lm = fetch_local_material(fs, sp, mid)
+
+    active = isect.valid | jnp.ones((n,), bool)  # all lanes contribute AOVs
+    throughput = jnp.ones((n, 3), dtype)
+    img = _accumulate_primary(
+        fs, ci, active, throughput, ray, ray_diff, isect, sp, lm, 1.0
+    )
+    if ci.radiance_dimension < 0 or options.max_bounces == 0:
+        return img
+    roff = ci.radiance_dimension
+
+    active = isect.valid
+    min_rough = jnp.zeros((n,), dtype)
+    incoming_ray = ray
+    incoming_diff = ray_diff
+    for bounce in range(options.max_bounces):
+        light_dim = dim.next(sampler_mod.LIGHT_DIMS)
+        bsdf_dim = dim.next(sampler_mod.BSDF_DIMS)
+        wi = -incoming_ray.dir
+
+        # --- Next-event estimation ---
+        if fs.num_lights > 0:
+            light_u = sampler_mod.uniforms(seed, pixel_ids, sample_id, light_dim, 4)
+            ls = _sample_light_point(fs, sp.position, light_u)
+            blocked = accel.occluded(fs, ls["shadow_ray"])
+            nee = _nee_contribution(fs, lm, sp, wi, min_rough, ls, blocked)
+        else:
+            nee = jnp.zeros((n, 3), dtype)
+
+        # --- BSDF sampling ---
+        bsdf_u = sampler_mod.uniforms(seed, pixel_ids, sample_id, bsdf_dim, 3)
+        wo, wo_diff, next_min_rough = bsdf_sample(
+            lm, sp, wi, bsdf_u[:, 0], bsdf_u[:, 1:3], min_rough, incoming_diff
+        )
+        bsdf_ray = Ray(
+            org=sp.position,
+            dir=jnp.where(active[..., None], wo, 0.0),
+            tmin=jnp.full((n,), 1e-3, dtype),
+            tmax=jnp.full((n,), jnp.inf, dtype),
+        )
+        bsdf_isect = accel.intersect(fs, bsdf_ray)
+        bsdf_sp, bsdf_diff = _surface_point_at(fs, bsdf_isect, bsdf_ray, wo_diff)
+
+        scatter, scatter_bsdf = _scatter_contribution(
+            fs, lm, sp, wi, min_rough, bsdf_ray, bsdf_isect, bsdf_sp
+        )
+
+        path_contrib = throughput * (nee + scatter)
+        img = img.at[:, roff : roff + 3].add(
+            jnp.where(active[..., None], path_contrib, 0.0)
+        )
+
+        # --- advance the path ---
+        throughput = jnp.where(active[..., None], throughput * scatter_bsdf, 0.0)
+        active = active & bsdf_isect.valid & (jnp.max(jnp.abs(throughput), axis=-1) > 0)
+        if bounce + 1 >= options.max_bounces:
+            break
+        sp = bsdf_sp
+        incoming_ray = bsdf_ray
+        incoming_diff = bsdf_diff
+        isect = bsdf_isect
+        min_rough = next_min_rough
+        mid = fs.face_material_id[
+            jnp.clip(bsdf_isect.tri_id, 0, fs.num_triangles - 1)
+        ]
+        lm = fetch_local_material(fs, sp, mid)
+    return img
+
+
+def render_image(scene: Scene, options: RenderOptions, seed=0) -> jnp.ndarray:
+    """Differentiable forward render -> (vh, vw, C) image.
+
+    Continuous gradients flow through JAX AD; visibility gradients are added
+    by the custom_vjp wrapper in redner_tpu.render_grad.
+    """
+    fs = flatten_scene(scene)
+    camera = scene.camera
+    top, left, bottom, right = camera.viewport_or_full
+    vw, vh = right - left, bottom - top
+    ci = options.channel_info
+    seed = jnp.asarray(seed, jnp.uint32)
+
+    def body(acc, sample_id):
+        contrib = render_sample(fs, camera, options, seed, sample_id)
+        return acc + contrib, None
+
+    init = jnp.zeros((vw * vh, ci.num_total_dimensions), fs.vertices.dtype)
+    img, _ = jax.lax.scan(
+        body, init, jnp.arange(options.num_samples, dtype=jnp.uint32)
+    )
+    img = img / options.num_samples
+    return img.reshape(vh, vw, ci.num_total_dimensions)
