@@ -526,11 +526,18 @@ def render_sample(
     return img
 
 
-def render_image(scene: Scene, options: RenderOptions, seed=0) -> jnp.ndarray:
+def render_image(scene: Scene, options: RenderOptions, seed=0,
+                 pixel_sharding=None) -> jnp.ndarray:
     """Differentiable forward render -> (vh, vw, C) image.
 
     Continuous gradients flow through JAX AD; visibility gradients are added
     by the custom_vjp wrapper in redner_tpu.render_grad.
+
+    pixel_sharding: optional jax.sharding.Sharding for the flat (pixels, C)
+    contribution tensor.  Annotating it here lets GSPMD shard the whole
+    wavefront over the device mesh (pixels are embarrassingly parallel; the
+    scene stays replicated and gradient reduction rides XLA collectives) —
+    SURVEY §2.3 item 9 / §7 step 8.
     """
     fs = flatten_scene(scene)
     camera = scene.camera
@@ -539,11 +546,18 @@ def render_image(scene: Scene, options: RenderOptions, seed=0) -> jnp.ndarray:
     ci = options.channel_info
     seed = jnp.asarray(seed, jnp.uint32)
 
+    def constrain(x):
+        if pixel_sharding is not None:
+            return jax.lax.with_sharding_constraint(x, pixel_sharding)
+        return x
+
     def body(acc, sample_id):
         contrib = render_sample(fs, camera, options, seed, sample_id)
-        return acc + contrib, None
+        return acc + constrain(contrib), None
 
-    init = jnp.zeros((vw * vh, ci.num_total_dimensions), fs.vertices.dtype)
+    init = constrain(
+        jnp.zeros((vw * vh, ci.num_total_dimensions), fs.vertices.dtype)
+    )
     img, _ = jax.lax.scan(
         body, init, jnp.arange(options.num_samples, dtype=jnp.uint32)
     )

@@ -7,7 +7,6 @@ sharding tests use the 8 virtual CPU devices (see SURVEY §7 step 8).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,3 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The image's sitecustomize registers an experimental remote-TPU PJRT plugin
+# and pins JAX_PLATFORMS=axon; the env var alone cannot override it, but the
+# config update works as long as no backend has been initialized yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

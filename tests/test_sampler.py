@@ -1,0 +1,51 @@
+"""Sampler statistics and replay-exactness (reference src/pcg_sampler.cpp,
+src/sobol_sampler.cpp analogs)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from redner_tpu import sampler
+
+
+def test_uniform_range_and_mean():
+    n = 1 << 14
+    u = sampler.uniform(7, jnp.arange(n), 0, 0)
+    assert float(u.min()) >= 0.0 and float(u.max()) < 1.0
+    assert abs(float(u.mean()) - 0.5) < 0.01
+    assert abs(float(u.var()) - 1.0 / 12.0) < 0.01
+
+
+def test_decorrelated_across_dims_and_samples():
+    n = 1 << 14
+    pix = jnp.arange(n)
+    a = np.asarray(sampler.uniform(7, pix, 0, 0))
+    b = np.asarray(sampler.uniform(7, pix, 0, 1))
+    c = np.asarray(sampler.uniform(7, pix, 1, 0))
+    d = np.asarray(sampler.uniform(8, pix, 0, 0))
+    for other in (b, c, d):
+        corr = np.corrcoef(a, other)[0, 1]
+        assert abs(corr) < 0.03
+
+
+def test_replay_exact():
+    pix = jnp.arange(128)
+    u1 = sampler.uniforms(3, pix, 5, 2, 4)
+    u2 = sampler.uniforms(3, pix, 5, 2, 4)
+    assert jnp.array_equal(u1, u2)
+    assert u1.shape == (128, 4)
+
+
+def test_uniforms_matches_uniform():
+    pix = jnp.arange(16)
+    grp = sampler.uniforms(3, pix, 1, 0, 4)
+    # First element of the group equals the single-dim call at dim 0
+    single = sampler.uniform(3, pix, 1, 0)
+    assert jnp.array_equal(grp[:, 0], single)
+
+
+def test_dim_allocator_schedule():
+    d = sampler.DimAllocator()
+    assert d.next(sampler.CAMERA_DIMS) == 0
+    assert d.next(sampler.LIGHT_DIMS) == 2
+    assert d.next(sampler.BSDF_DIMS) == 6
+    assert d.next(sampler.LIGHT_DIMS) == 9
