@@ -147,18 +147,27 @@ def occluded_bruteforce(fs, ray: Ray) -> jnp.ndarray:
     return jax.lax.stop_gradient(blocked & live).reshape(ray.org.shape[:-1])
 
 
+# Above this count the LBVH traversal takes over from the matmul sweep.
+MM_MAX_TRIS = 16384
+
+
 def intersect(fs, ray: Ray) -> Intersection:
-    """Closest-hit dispatch (brute force vs LBVH by scene size)."""
-    if fs.num_triangles <= BRUTE_FORCE_MAX_TRIS:
-        return intersect_bruteforce(fs, ray)
+    """Closest-hit dispatch: MXU matmul sweep for small/medium scenes,
+    LBVH traversal for large ones."""
+    if fs.num_triangles <= MM_MAX_TRIS:
+        from redner_tpu.ops.intersect import intersect_mm
+
+        return intersect_mm(fs, ray)
     from redner_tpu.ops import bvh as _bvh
 
     return _bvh.intersect_bvh(fs, ray)
 
 
 def occluded(fs, ray: Ray) -> jnp.ndarray:
-    if fs.num_triangles <= BRUTE_FORCE_MAX_TRIS:
-        return occluded_bruteforce(fs, ray)
+    if fs.num_triangles <= MM_MAX_TRIS:
+        from redner_tpu.ops.intersect import occluded_mm
+
+        return occluded_mm(fs, ray)
     from redner_tpu.ops import bvh as _bvh
 
     return _bvh.occluded_bvh(fs, ray)

@@ -420,6 +420,102 @@ def _face_emission_nee(fs, isect, wo, sp_light):
     return jnp.where(ok[..., None], intensity, 0.0), ok
 
 
+def trace_radiance(
+    fs: FlatScene,
+    options: RenderOptions,
+    seed,
+    lane_ids,
+    sample_id,
+    ray: Ray,
+    ray_diff: RayDifferential,
+    dim_start: int = sampler_mod.CAMERA_DIMS,
+    include_primary_emission: bool = True,
+):
+    """Full-path radiance estimate for arbitrary primary rays -> (n, 3).
+
+    This is the bounce loop of the wavefront tracer factored out so the
+    edge-sampling passes can trace offset ray pairs with their own RNG
+    stream (reference edge path traces, src/pathtracer.cpp:590-694,833-934).
+
+    lane_ids keys the RNG (pixel ids for camera paths, edge-sample ids for
+    edge paths).  dim_start is the first sample dimension to draw from.
+    """
+    n = ray.org.shape[0]
+    dtype = ray.org.dtype
+    radiance = jnp.zeros((n, 3), dtype)
+
+    isect = accel.intersect(fs, ray)
+    sp, ray_diff = _surface_point_at(fs, isect, ray, ray_diff)
+    mid = fs.face_material_id[jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)]
+    lm = fetch_local_material(fs, sp, mid)
+
+    if include_primary_emission:
+        wi = -ray.dir
+        emission, _ = _face_emission(fs, isect.tri_id, vm.dot(wi, sp.frame_n))
+        emission = jnp.where(isect.valid[..., None], emission, 0.0)
+        if fs.has_envmap and fs.envmap.directly_visible:
+            env = envmap_eval(fs.envmap, ray.dir, ray_diff)
+            live = jnp.sum(ray.dir * ray.dir, axis=-1) > 0
+            emission = jnp.where((live & ~isect.valid)[..., None], env, emission)
+        radiance = radiance + emission
+
+    dim = sampler_mod.DimAllocator()
+    dim.dim = dim_start
+    active = isect.valid
+    throughput = jnp.ones((n, 3), dtype)
+    min_rough = jnp.zeros((n,), dtype)
+    incoming_ray = ray
+    incoming_diff = ray_diff
+    for bounce in range(options.max_bounces):
+        light_dim = dim.next(sampler_mod.LIGHT_DIMS)
+        bsdf_dim = dim.next(sampler_mod.BSDF_DIMS)
+        wi = -incoming_ray.dir
+
+        if fs.num_lights > 0:
+            light_u = sampler_mod.uniforms(seed, lane_ids, sample_id, light_dim, 4)
+            ls = _sample_light_point(fs, sp.position, light_u)
+            blocked = accel.occluded(fs, ls["shadow_ray"])
+            nee = _nee_contribution(fs, lm, sp, wi, min_rough, ls, blocked)
+        else:
+            nee = jnp.zeros((n, 3), dtype)
+
+        bsdf_u = sampler_mod.uniforms(seed, lane_ids, sample_id, bsdf_dim, 3)
+        wo, wo_diff, next_min_rough = bsdf_sample(
+            lm, sp, wi, bsdf_u[:, 0], bsdf_u[:, 1:3], min_rough, incoming_diff
+        )
+        bsdf_ray = Ray(
+            org=sp.position,
+            dir=jnp.where(active[..., None], wo, 0.0),
+            tmin=jnp.full((n,), 1e-3, dtype),
+            tmax=jnp.full((n,), jnp.inf, dtype),
+        )
+        bsdf_isect = accel.intersect(fs, bsdf_ray)
+        bsdf_sp, bsdf_diff = _surface_point_at(fs, bsdf_isect, bsdf_ray, wo_diff)
+
+        scatter, scatter_bsdf = _scatter_contribution(
+            fs, lm, sp, wi, min_rough, bsdf_ray, bsdf_isect, bsdf_sp
+        )
+        radiance = radiance + jnp.where(
+            active[..., None], throughput * (nee + scatter), 0.0
+        )
+
+        throughput = jnp.where(active[..., None], throughput * scatter_bsdf, 0.0)
+        active = active & bsdf_isect.valid & (
+            jnp.max(jnp.abs(throughput), axis=-1) > 0
+        )
+        if bounce + 1 >= options.max_bounces:
+            break
+        sp = bsdf_sp
+        incoming_ray = bsdf_ray
+        incoming_diff = bsdf_diff
+        min_rough = next_min_rough
+        mid = fs.face_material_id[
+            jnp.clip(bsdf_isect.tri_id, 0, fs.num_triangles - 1)
+        ]
+        lm = fetch_local_material(fs, sp, mid)
+    return radiance
+
+
 def render_sample(
     fs: FlatScene,
     camera: Camera,
