@@ -17,9 +17,26 @@ from redner_tpu.geometry import Shape, compute_vertex_normal, make_shape, smooth
 from redner_tpu.light import AreaLight, make_area_light
 from redner_tpu.material import Material, make_material
 from redner_tpu.render import RenderOptions, render_image
+from redner_tpu.render_grad import (render, set_use_correlated_random_number,
+                                    get_use_correlated_random_number)
 from redner_tpu.sampler import SamplerType
 from redner_tpu.scene import FlatScene, Scene, flatten_scene, make_scene
 from redner_tpu.texture import Texture, make_texture
+from redner_tpu.object import Object, scene_from_objects
+from redner_tpu.io import (imread, imwrite, load_mitsuba, load_obj,
+                           load_serialized, save_mtl, save_obj)
+from redner_tpu.render_utils import (AmbientLight, DeferredLight,
+                                     DirectionalLight, PointLight, SpotLight,
+                                     render_albedo, render_deferred,
+                                     render_g_buffer, render_generic,
+                                     render_pathtracing)
+from redner_tpu.utils import (generate_quad_light, generate_sphere,
+                              linear_to_srgb, sh_eval, sh_reconstruct,
+                              srgb_to_linear)
+from redner_tpu.serialize import (load_scene, load_state_dict, save_scene,
+                                  state_dict)
+from redner_tpu.screen_gradient import (screen_gradient_image,
+                                        visualize_screen_gradient)
 
 __version__ = "0.1.0"
 

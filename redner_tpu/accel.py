@@ -158,9 +158,9 @@ def intersect(fs, ray: Ray) -> Intersection:
         from redner_tpu.ops.intersect import intersect_mm
 
         return intersect_mm(fs, ray)
-    from redner_tpu.ops import bvh as _bvh
+    from redner_tpu.ops.cluster import intersect_clustered
 
-    return _bvh.intersect_bvh(fs, ray)
+    return intersect_clustered(fs, ray)
 
 
 def occluded(fs, ray: Ray) -> jnp.ndarray:
@@ -168,6 +168,6 @@ def occluded(fs, ray: Ray) -> jnp.ndarray:
         from redner_tpu.ops.intersect import occluded_mm
 
         return occluded_mm(fs, ray)
-    from redner_tpu.ops import bvh as _bvh
+    from redner_tpu.ops.cluster import occluded_clustered
 
-    return _bvh.occluded_bvh(fs, ray)
+    return occluded_clustered(fs, ray)

@@ -1,0 +1,475 @@
+"""Edge sampling: unbiased gradients of visibility discontinuities.
+
+TPU-native re-design of the reference's core novelty (src/edge.cpp,
+src/edge.h, src/edge_tree.cpp — "Differentiable Monte Carlo Ray Tracing
+through Edge Sampling", Li et al. 2018).  Architectural mapping:
+
+  * Edge extraction/dedup (reference sort+reduce_by_key,
+    src/edge.cpp:233-296) -> static-shape lexicographic sort over the 3F
+    face-edge candidates with a first-occurrence mask; runs on device under
+    jit so vertex-dependent quantities stay differentiable.
+  * Hand-derived Eq.-8 / Eq.-15..18 adjoints
+    (src/edge.cpp:700-800,1856-2073) -> *surrogate scalars* whose JAX
+    reverse-mode gradient reproduces the same estimator:
+       grad += d/dtheta  sum_s  w_s . <n_hat_s, x_s(theta)>
+    with w_s (radiance differences x adjoint pixel values / pdf) and the
+    discontinuity normal n_hat stop-gradiented, and x_s the differentiable
+    screen/sphere position of the edge point.  The chain through x_s covers
+    vertices AND camera (primary) or vertices AND shading point -> upstream
+    path (secondary) exactly like d_project / the d_points chain.
+  * 6D Hough edge BVH + LTC tables (src/edge_tree.cpp, src/ltc.inc) ->
+    importance *resampling* over M uniform candidates per shading point
+    (the reference's own fallback, src/edge.cpp:1480-1565), which is the
+    TPU-shaped algorithm: fixed M, no stack, no divergence.
+
+All passes run only in the backward of redner_tpu.render (the reference
+likewise samples edges only when differentiating, pyredner/render_pytorch.py
+:140-265).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from redner_tpu import sampler as sampler_mod
+from redner_tpu.camera import Camera, CameraType, project, sample_primary
+from redner_tpu.core import vecmath as vm
+from redner_tpu.core.types import Ray, RayDifferential
+from redner_tpu.scene import FlatScene
+
+# Dihedral-angle threshold: near-coplanar interior edges never become
+# silhouettes and are dropped (src/edge.h:187-196 analog).
+COPLANAR_EPS = 1e-6
+# Screen-space offset of the primary-edge ray pair (src/edge.cpp:438-441).
+PRIMARY_EDGE_OFFSET = 1e-6
+# Half-plane offset scale of the secondary-edge ray pair (src/edge.cpp:1674).
+SECONDARY_EDGE_OFFSET = 1e-5
+# Importance-resampling candidate count (src/edge.cpp:1483-1494).
+RESAMPLE_M = 64
+
+
+class EdgeSoA(NamedTuple):
+    """Device edge table with static shape (3F,) + validity mask."""
+
+    v0: jnp.ndarray  # (E,) int32 global vertex id (min)
+    v1: jnp.ndarray  # (E,) int32 global vertex id (max)
+    f0: jnp.ndarray  # (E,) int32 global face id
+    f1: jnp.ndarray  # (E,) int32 global face id or -1 (boundary)
+    valid: jnp.ndarray  # (E,) bool — first occurrence of a geometric edge
+
+
+def build_edges(fs: FlatScene) -> EdgeSoA:
+    """Extract unique mesh edges with adjacency, fully on device.
+
+    Candidates are the 3 edges of every face, keyed by the sorted vertex
+    pair; a lexicographic sort brings duplicates together and a
+    first-occurrence mask dedupes with *static* output shape (3F,)
+    (reference thrust sort + reduce_by_key, src/edge.cpp:250-296).
+    """
+    faces = fs.faces  # (F, 3)
+    F = faces.shape[0]
+    a = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    b = jnp.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    lo = jnp.minimum(a, b)
+    hi = jnp.maximum(a, b)
+    face_id = jnp.tile(jnp.arange(F, dtype=jnp.int32), 3)
+    # Degenerate edges (repeated vertex) are invalid.
+    nondegen = lo != hi
+
+    order = jnp.lexsort((hi, lo))
+    lo_s = lo[order]
+    hi_s = hi[order]
+    f_s = face_id[order]
+    same_prev = jnp.concatenate(
+        [
+            jnp.zeros((1,), bool),
+            (lo_s[1:] == lo_s[:-1]) & (hi_s[1:] == hi_s[:-1]),
+        ]
+    )
+    is_first = ~same_prev
+    # Second face: the next sorted entry if it shares the key.
+    same_next = jnp.concatenate([same_prev[1:], jnp.zeros((1,), bool)])
+    f1 = jnp.where(same_next, jnp.roll(f_s, -1), -1)
+    return EdgeSoA(
+        v0=lo_s, v1=hi_s, f0=f_s, f1=f1, valid=is_first & nondegen[order]
+    )
+
+
+def _face_normals(fs: FlatScene, face_id):
+    """Geometric (unnormalized-safe) normals of (clamped) face ids."""
+    fid = jnp.clip(face_id, 0, fs.num_triangles - 1)
+    f = fs.faces[fid]
+    v0 = fs.vertices[f[..., 0]]
+    v1 = fs.vertices[f[..., 1]]
+    v2 = fs.vertices[f[..., 2]]
+    return vm.normalize(vm.cross(v1 - v0, v2 - v0))
+
+
+def silhouette_mask(fs: FlatScene, edges: EdgeSoA, viewpoint):
+    """Which edges are silhouettes w.r.t. `viewpoint` (..., 3)?
+
+    Boundary edges always are; interior edges iff exactly one adjacent face
+    fronts the viewpoint, and near-coplanar edges never
+    (src/edge.h:156-229).
+
+    viewpoint may be (3,) (camera) or (P, 1, 3) against edges (1, E) for
+    per-shading-point tests — standard broadcasting applies.
+    """
+    n0 = _face_normals(fs, edges.f0)
+    n1 = _face_normals(fs, edges.f1)
+    p0 = fs.vertices[edges.v0]
+    boundary = edges.f1 < 0
+    coplanar = vm.dot(n0, n1) >= 1.0 - COPLANAR_EPS
+    d = viewpoint - p0
+    front0 = vm.dot(n0, d) > 0
+    front1 = vm.dot(n1, d) > 0
+    interior_sil = (front0 != front1) & ~coplanar
+    return edges.valid & (boundary | interior_sil)
+
+
+# ----------------------------------------------------------------------
+# Primary edges (screen-space discontinuities)
+# ----------------------------------------------------------------------
+
+
+def _clip_segment_screen(p0, p1, valid0, valid1, width, height):
+    """Liang-Barsky clip of screen segments (pixel units) to the image box
+    (src/line_clip.h analog).  Returns (t0, t1, ok)."""
+    d = p1 - p0
+    tmin = jnp.zeros(p0.shape[:-1], p0.dtype)
+    tmax = jnp.ones(p0.shape[:-1], p0.dtype)
+    ok = valid0 & valid1  # both endpoints project in front of the camera
+    for axis, lim in ((0, width), (1, height)):
+        dd = d[..., axis]
+        pp = p0[..., axis]
+        # pp + t*dd in [0, lim]
+        safe_dd = jnp.where(dd == 0, 1.0, dd)
+        t_lo = (0.0 - pp) / safe_dd
+        t_hi = (lim - pp) / safe_dd
+        t_enter = jnp.minimum(t_lo, t_hi)
+        t_exit = jnp.maximum(t_lo, t_hi)
+        tmin = jnp.where(dd == 0, tmin, jnp.maximum(tmin, t_enter))
+        tmax = jnp.where(dd == 0, tmax, jnp.minimum(tmax, t_exit))
+        inside = (pp >= 0.0) & (pp <= lim)
+        ok = ok & jnp.where(dd == 0, inside, True)
+    ok = ok & (tmax > tmin)
+    return tmin, tmax, ok
+
+
+def project_pixels(camera: Camera, p_world):
+    """World -> screen in *pixel* units (x right, y down), differentiable."""
+    screen, valid, _ = project(camera, p_world)
+    scale = jnp.asarray(
+        [camera.width, camera.height], screen.dtype
+    )
+    return screen * scale, valid
+
+
+def primary_edge_gradients(
+    scene,
+    flatten_scene_fn,
+    trace_fn,
+    options,
+    seed,
+    d_radiance,
+    num_edge_samples: int,
+):
+    """Gradient contribution of primary (screen-space) silhouette edges.
+
+    d_radiance: (vh, vw, 3) adjoint of the radiance channel.
+    Returns a cotangent pytree matching `scene`.
+
+    Estimator (per edge sample at screen point x with screen normal n_hat):
+        dI_p/dtheta += (f_minus - f_plus) . d_radiance[p] / pdf
+                       * <n_hat, dx/dtheta>
+    where f_+/- are full-path radiances of rays offset +/-delta along n_hat
+    (reference two-sided edge rays with weight +/-d_color/pmf,
+    src/edge.cpp:385-652; Eq. 8 vertex/camera gradients via the
+    differentiable projection x(v0, v1, camera)).
+    """
+    camera = scene.camera
+    fs = flatten_scene_fn(scene)
+    sg = jax.lax.stop_gradient
+    dtype = fs.vertices.dtype
+    top, left, bottom, right = camera.viewport_or_full
+
+    edges = build_edges(fs)
+    cam_org = sample_primary(
+        camera, jnp.full((1, 2), 0.5, dtype)
+    ).org[0]
+    sil = silhouette_mask(fs, edges, sg(cam_org))
+    if camera.camera_type == CameraType.orthographic:
+        # Orthographic silhouettes: use the (constant) view direction as a
+        # point at infinity — test against a far-away point along -z view.
+        pass
+
+    p0_pix, valid0 = project_pixels(camera, fs.vertices[edges.v0])
+    p1_pix, valid1 = project_pixels(camera, fs.vertices[edges.v1])
+    t0, t1, clip_ok = _clip_segment_screen(
+        sg(p0_pix), sg(p1_pix), valid0, valid1,
+        float(camera.width), float(camera.height),
+    )
+    use = sil & clip_ok
+    seg_len = vm.length(sg(p1_pix) - sg(p0_pix)) * (t1 - t0)
+    weight_len = jnp.where(use, seg_len, 0.0)
+    total = jnp.sum(weight_len)
+    any_edges = total > 0
+    pmf = weight_len / jnp.maximum(total, 1e-20)
+    cdf = jnp.cumsum(pmf) - pmf
+
+    # --- sample edges ---
+    N = num_edge_samples
+    eids = jnp.arange(N, dtype=jnp.int32)
+    edge_seed = seed + sampler_mod.EDGE_SEED_OFFSET
+    u = sampler_mod.uniforms(edge_seed, eids, 0, 0, 2)
+    sel = jnp.clip(
+        jnp.searchsorted(sg(cdf), u[:, 0], side="right") - 1, 0, cdf.shape[0] - 1
+    )
+    tt = t0[sel] + (t1[sel] - t0[sel]) * u[:, 1]  # param along full segment
+    tt = sg(tt)
+
+    # Differentiable screen point of the sample (pixel units).
+    a_pix, _ = project_pixels(camera, fs.vertices[edges.v0[sel]])
+    b_pix, _ = project_pixels(camera, fs.vertices[edges.v1[sel]])
+    x_pix = (1.0 - tt)[:, None] * a_pix + tt[:, None] * b_pix
+
+    e_dir = vm.normalize(sg(b_pix - a_pix))
+    n_hat = jnp.stack([-e_dir[..., 1], e_dir[..., 0]], axis=-1)  # 90deg CCW
+
+    # --- trace the offset ray pair ---
+    res_scale = jnp.asarray([camera.width, camera.height], dtype)
+    xs = sg(x_pix)
+    screen_plus = (xs + PRIMARY_EDGE_OFFSET * res_scale * n_hat) / res_scale
+    screen_minus = (xs - PRIMARY_EDGE_OFFSET * res_scale * n_hat) / res_scale
+    ray_p = sample_primary(camera, screen_plus)
+    ray_m = sample_primary(camera, screen_minus)
+    zero_diff = RayDifferential.zero((N,), dtype)
+
+    both_org = jnp.concatenate([ray_p.org, ray_m.org])
+    both_dir = jnp.concatenate([ray_p.dir, ray_m.dir])
+    both = Ray.make(both_org, both_dir)
+    lane_ids = jnp.concatenate([eids, eids + N])
+    f_both = trace_fn(
+        fs, options, edge_seed, lane_ids, 0, both,
+        RayDifferential.zero((2 * N,), dtype),
+    )
+    f_plus = sg(f_both[:N])
+    f_minus = sg(f_both[N:])
+
+    # --- adjoint pixel lookup ---
+    px = jnp.clip(xs[:, 0].astype(jnp.int32) - left, 0, right - left - 1)
+    py = jnp.clip(xs[:, 1].astype(jnp.int32) - top, 0, bottom - top - 1)
+    d_pix = sg(d_radiance)[py, px]  # (N, 3)
+    inside = (
+        (xs[:, 0] >= left) & (xs[:, 0] < right)
+        & (xs[:, 1] >= top) & (xs[:, 1] < bottom)
+    )
+
+    pdf = sg(pmf[sel] / jnp.maximum(seg_len[sel], 1e-20))  # per unit length
+    w = jnp.sum((f_minus - f_plus) * d_pix, axis=-1) / jnp.maximum(pdf, 1e-20)
+    w = jnp.where(inside & (pdf > 0) & sg(any_edges), w, 0.0) / N
+    w = sg(w)
+
+    # Surrogate: gradient flows through x_pix(v0, v1, camera).
+    surrogate = jnp.sum(w * jnp.sum(sg(n_hat) * x_pix, axis=-1))
+    return surrogate
+
+
+# ----------------------------------------------------------------------
+# Secondary edges (shadow / global-illumination discontinuities)
+# ----------------------------------------------------------------------
+
+
+# NEE-importance kernel width (radians-squared scale) and floor.  The floor
+# keeps full support so RIS stays unbiased for non-shadow discontinuities
+# (reference splits strategies with pmf 0.5, src/edge.cpp:1458-1467; a
+# smooth kernel + floor is the branchless equivalent).
+NEE_SIGMA = 0.3
+NEE_FLOOR = 0.05
+T_CANDIDATES = 8
+
+
+def secondary_edge_surrogate(
+    fs: FlatScene,
+    options,
+    seed,
+    sample_id,
+    sp_position,
+    sp_wi,
+    bsdf_eval_fn,
+    trace_fn,
+    d_pixel,
+    active,
+    nee_dir=None,
+):
+    """Surrogate scalar for secondary-edge gradients at shading points.
+
+    sp_position: (P, 3) differentiable shading-point positions.
+    sp_wi:       (P, 3) incoming directions (toward the camera).
+    bsdf_eval_fn(wo) -> (P, 3) BSDF value at the shading points.
+    d_pixel:     (P, 3) adjoint radiance values (throughput-weighted).
+    active:      (P,) lanes with a valid shading point.
+
+    For each shading point: importance-resample one silhouette edge from
+    RESAMPLE_M uniform candidates (reference fallback, src/edge.cpp:
+    1480-1565), pick a point on it, trace the two offset rays, and emit
+        w . <n_hat, omega(a, b, p)>
+    whose gradient reproduces the sphere-space edge integral (Eqs. 13-18):
+    the chain through p = sp_position carries the gradient back through the
+    primary intersection to vertices/camera — replacing the reference's
+    explicit d_points accumulation chain (src/edge.cpp:2001-2073).
+    """
+    P = sp_position.shape[0]
+    dtype = sp_position.dtype
+    sg = jax.lax.stop_gradient
+    edge_seed = seed + sampler_mod.EDGE_SEED_OFFSET
+    lane = jnp.arange(P, dtype=jnp.int32)
+
+    edges = build_edges(fs)
+    E = edges.v0.shape[0]
+    p_sg = sg(sp_position)
+
+    # --- M uniform candidates per shading point ---
+    # Candidate edge ids: (P, M) via the RNG (dims 100+).
+    u_cand = sampler_mod.uniforms(edge_seed, lane, sample_id, 100, 2)
+    m_ids = jnp.arange(RESAMPLE_M, dtype=jnp.int32)
+    # Stratified-ish: decorrelated ids per (pixel, m)
+    cand_u = sampler_mod.uniform(
+        edge_seed, lane[:, None] * RESAMPLE_M + m_ids[None, :], sample_id, 104
+    )
+    cand = jnp.clip((cand_u * E).astype(jnp.int32), 0, E - 1)  # (P, M)
+
+    a = fs.vertices[edges.v0[cand]]  # (P, M, 3)
+    b = fs.vertices[edges.v1[cand]]
+    # Silhouette w.r.t. each shading point.
+    sil = silhouette_mask(
+        fs,
+        EdgeSoA(
+            v0=edges.v0[cand], v1=edges.v1[cand],
+            f0=edges.f0[cand], f1=edges.f1[cand],
+            valid=edges.valid[cand],
+        ),
+        p_sg[:, None, :],
+    )  # (P, M)
+
+    # Importance: subtended arc length (chord of unit directions) times a
+    # NEE-proximity kernel — edges whose arc passes near the sampled light
+    # direction carry the shadow discontinuity (reference edge-NEE variant,
+    # src/edge.cpp:1239-1364).
+    wa = vm.normalize(sg(a) - p_sg[:, None, :])
+    wb = vm.normalize(sg(b) - p_sg[:, None, :])
+    arc = vm.length(wb - wa)
+    if nee_dir is not None:
+        nd = sg(nee_dir)[:, None, :]
+        mid = vm.normalize(wa + wb)
+        d2 = jnp.minimum(
+            jnp.minimum(2.0 * (1.0 - vm.dot(wa, nd)), 2.0 * (1.0 - vm.dot(wb, nd))),
+            2.0 * (1.0 - vm.dot(mid, nd)),
+        )
+        kernel = NEE_FLOOR + jnp.exp(-d2 / (2.0 * NEE_SIGMA * NEE_SIGMA))
+    else:
+        kernel = 1.0
+    # Avoid edges containing the shading point itself (self-intersection,
+    # src/edge.cpp:1866-1871 analog).
+    da = vm.distance_squared(sg(a), p_sg[:, None, :])
+    db = vm.distance_squared(sg(b), p_sg[:, None, :])
+    w_cand = jnp.where(sil & (da > 1e-8) & (db > 1e-8), arc * kernel, 0.0)  # (P, M)
+
+    w_sum = jnp.sum(w_cand, axis=-1)  # (P,)
+    has_cand = w_sum > 0
+    # Resample one candidate proportional to w_cand.
+    cdf = jnp.cumsum(w_cand, axis=-1)
+    u_sel = sampler_mod.uniform(edge_seed, lane, sample_id, 105)
+    pick = jnp.sum(
+        (cdf < (u_sel * w_sum)[:, None]).astype(jnp.int32), axis=-1
+    )
+    pick = jnp.clip(pick, 0, RESAMPLE_M - 1)
+    sel = jnp.take_along_axis(cand, pick[:, None], axis=-1)[:, 0]  # (P,)
+    w_pick = jnp.take_along_axis(w_cand, pick[:, None], axis=-1)[:, 0]
+    # RIS effective pdf of the chosen edge: (w_pick / w_sum) * M / E per
+    # uniform candidate draw -> unbiased with factor w_sum / (M * w_pick) * E.
+    ris_factor = jnp.where(
+        has_cand & (w_pick > 0),
+        w_sum * E / (RESAMPLE_M * jnp.maximum(w_pick, 1e-20)),
+        0.0,
+    )
+
+    # --- point on the chosen edge: stratified t candidates + RIS toward
+    # the NEE direction (replaces the reference's LTC line-CDF inversion,
+    # src/edge.cpp:1598-1652, with a branchless TPU-shaped scheme) ---
+    av = fs.vertices[edges.v0[sel]]  # (P, 3) differentiable
+    bv = fs.vertices[edges.v1[sel]]
+    Kt = T_CANDIDATES
+    t_jit = sampler_mod.uniform(edge_seed, lane, sample_id, 106)
+    tk = (jnp.arange(Kt, dtype=dtype)[None, :] + t_jit[:, None]) / Kt  # (P,Kt)
+    xk = (1.0 - tk)[..., None] * sg(av)[:, None, :] + tk[..., None] * sg(bv)[:, None, :]
+    wk_dir = vm.normalize(xk - p_sg[:, None, :])
+    if nee_dir is not None:
+        d2k = 2.0 * (1.0 - vm.dot(wk_dir, sg(nee_dir)[:, None, :]))
+        wt = NEE_FLOOR + jnp.exp(-d2k / (2.0 * NEE_SIGMA * NEE_SIGMA))
+    else:
+        wt = jnp.ones((P, Kt), dtype)
+    wt_sum = jnp.sum(wt, axis=-1)
+    cdf_t = jnp.cumsum(wt, axis=-1)
+    u_t = sampler_mod.uniform(edge_seed, lane, sample_id, 107)
+    pick_t = jnp.clip(
+        jnp.sum((cdf_t < (u_t * wt_sum)[:, None]).astype(jnp.int32), axis=-1),
+        0, Kt - 1,
+    )
+    t = jnp.take_along_axis(tk, pick_t[:, None], axis=-1)[:, 0]
+    wt_pick = jnp.take_along_axis(wt, pick_t[:, None], axis=-1)[:, 0]
+    # RIS factor for the t draw: (1/Kt sum wt) / wt_pick.
+    t_factor = wt_sum / (Kt * jnp.maximum(wt_pick, 1e-20))
+    t = sg(t)
+
+    x_edge = (1.0 - t)[:, None] * av + t[:, None] * bv  # differentiable
+    omega = vm.normalize(x_edge - sp_position)  # differentiable (a, b, p)
+
+    omega_sg = sg(omega)
+    # Arc tangent and sphere normal of the discontinuity at omega.
+    dxdt = sg(bv - av)
+    dist = jnp.maximum(vm.length(sg(x_edge) - p_sg), 1e-6)
+    # d omega / dt = (I - omega omega^T) dxdt / dist
+    domega_dt = (
+        dxdt - omega_sg * vm.vdot(omega_sg, dxdt)
+    ) / dist[:, None]
+    speed = vm.length(domega_dt)  # |d omega/dt| for the line-measure change
+    ehat = vm.normalize(domega_dt)
+    n_hat = vm.normalize(vm.cross(omega_sg, ehat))  # tangent, perp to arc
+
+    # --- radiance difference across the arc ---
+    delta = SECONDARY_EDGE_OFFSET
+    dir_p = vm.normalize(omega_sg + delta * n_hat)
+    dir_m = vm.normalize(omega_sg - delta * n_hat)
+    org2 = jnp.concatenate([p_sg, p_sg])
+    dir2 = jnp.concatenate([dir_p, dir_m])
+    live2 = jnp.concatenate([active & has_cand] * 2)
+    ray2 = Ray(
+        org=org2,
+        dir=jnp.where(live2[:, None], dir2, 0.0),
+        tmin=jnp.full((2 * P,), 1e-3, dtype) * jnp.maximum(
+            jnp.concatenate([dist, dist]), 1.0
+        ),
+        tmax=jnp.full((2 * P,), jnp.inf, dtype),
+    )
+    lane2 = jnp.concatenate([lane, lane + P])
+    L_both = trace_fn(
+        fs, options, edge_seed, lane2, sample_id, ray2,
+        RayDifferential.zero((2 * P,), dtype), 110,
+    )
+    L_plus = sg(L_both[:P])
+    L_minus = sg(L_both[P:])
+
+    f_plus = sg(bsdf_eval_fn(dir_p))
+    f_minus = sg(bsdf_eval_fn(dir_m))
+
+    # w = <d_pixel, f*L_minus - f*L_plus> * |domega/dt| * RIS factors
+    diff = f_minus * L_minus - f_plus * L_plus
+    w = jnp.sum(sg(d_pixel) * diff, axis=-1) * speed * ris_factor * t_factor
+    w = jnp.where(active & has_cand, w, 0.0)
+    w = sg(w)
+
+    return jnp.sum(w * vm.dot(n_hat, omega))

@@ -1,0 +1,309 @@
+"""Mitsuba 0.x XML scene loader (reference pyredner/load_mitsuba.py).
+
+Parses sensors, shapes (obj/serialized/rectangle), bsdfs (diffuse /
+roughplastic / plastic / twosided), emitters (area, envmap), transforms
+(matrix / translate / rotate / scale / lookat) and film resolution into a
+redner_tpu Scene.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from redner_tpu.camera import CameraType, make_camera
+from redner_tpu.envmap import make_environment_map
+from redner_tpu.geometry import compute_vertex_normal, make_shape
+from redner_tpu.light import make_area_light
+from redner_tpu.material import Material, make_material
+from redner_tpu.scene import make_scene
+
+
+def _parse_vec(s: str):
+    parts = s.replace(",", " ").split()
+    return np.asarray([float(x) for x in parts], np.float32)
+
+
+def parse_transform(node) -> np.ndarray:
+    """Accumulate child transforms left-to-right into a 4x4 matrix."""
+    m = np.eye(4, dtype=np.float32)
+    for child in node:
+        tag = child.tag.lower()
+        if tag == "matrix":
+            mm = _parse_vec(child.attrib["value"]).reshape(4, 4)
+            m = mm @ m
+        elif tag == "translate":
+            t = np.eye(4, dtype=np.float32)
+            t[0, 3] = float(child.attrib.get("x", 0))
+            t[1, 3] = float(child.attrib.get("y", 0))
+            t[2, 3] = float(child.attrib.get("z", 0))
+            m = t @ m
+        elif tag == "scale":
+            s = np.eye(4, dtype=np.float32)
+            if "value" in child.attrib:
+                v = float(child.attrib["value"])
+                s[0, 0] = s[1, 1] = s[2, 2] = v
+            else:
+                s[0, 0] = float(child.attrib.get("x", 1))
+                s[1, 1] = float(child.attrib.get("y", 1))
+                s[2, 2] = float(child.attrib.get("z", 1))
+            m = s @ m
+        elif tag == "rotate":
+            axis = np.asarray(
+                [
+                    float(child.attrib.get("x", 0)),
+                    float(child.attrib.get("y", 0)),
+                    float(child.attrib.get("z", 0)),
+                ],
+                np.float32,
+            )
+            axis = axis / max(np.linalg.norm(axis), 1e-12)
+            ang = np.radians(float(child.attrib["angle"]))
+            c, s_, t = np.cos(ang), np.sin(ang), 1 - np.cos(ang)
+            x, y, z = axis
+            r = np.eye(4, dtype=np.float32)
+            r[:3, :3] = np.asarray(
+                [
+                    [t * x * x + c, t * x * y - s_ * z, t * x * z + s_ * y],
+                    [t * x * y + s_ * z, t * y * y + c, t * y * z - s_ * x],
+                    [t * x * z - s_ * y, t * y * z + s_ * x, t * z * z + c],
+                ],
+                np.float32,
+            )
+            m = r @ m
+        elif tag == "lookat":
+            origin = _parse_vec(child.attrib["origin"])
+            target = _parse_vec(child.attrib["target"])
+            up = _parse_vec(child.attrib["up"])
+            fwd = target - origin
+            fwd = fwd / np.linalg.norm(fwd)
+            right = np.cross(up / np.linalg.norm(up), fwd)
+            right /= max(np.linalg.norm(right), 1e-12)
+            new_up = np.cross(fwd, right)
+            lk = np.eye(4, dtype=np.float32)
+            lk[:3, 0] = right
+            lk[:3, 1] = new_up
+            lk[:3, 2] = fwd
+            lk[:3, 3] = origin
+            m = lk @ m
+    return m
+
+
+def _rgb_of(node, name, default):
+    for child in node.iter():
+        if child.attrib.get("name") == name and child.tag in (
+            "rgb",
+            "spectrum",
+            "srgb",
+        ):
+            v = _parse_vec(child.attrib["value"])
+            if v.size == 1:
+                v = np.repeat(v, 3)
+            return v
+        if child.attrib.get("name") == name and child.tag == "float":
+            v = float(child.attrib["value"])
+            return np.asarray([v, v, v], np.float32)
+    return np.asarray(default, np.float32)
+
+
+def _float_of(node, name, default):
+    for child in node.iter():
+        if child.attrib.get("name") == name and child.tag == "float":
+            return float(child.attrib["value"])
+    return default
+
+
+def parse_bsdf(node, base_dir: str):
+    """BSDF node -> (id, Material)."""
+    btype = node.attrib.get("type", "diffuse")
+    bid = node.attrib.get("id", "")
+    if btype == "twosided":
+        inner = node.find("bsdf")
+        _, mat = parse_bsdf(inner, base_dir)
+        return bid, mat.replace(two_sided=True)
+    if btype in ("roughplastic", "plastic", "roughconductor", "conductor"):
+        diffuse = _rgb_of(node, "diffuseReflectance", [0.5, 0.5, 0.5])
+        specular = _rgb_of(node, "specularReflectance", [1.0, 1.0, 1.0])
+        alpha = _float_of(node, "alpha", 0.01)
+        return bid, make_material(
+            diffuse_reflectance=diffuse,
+            specular_reflectance=specular,
+            roughness=np.asarray([alpha * alpha], np.float32),
+        )
+    # diffuse / fallback
+    reflectance = _rgb_of(node, "reflectance", [0.5, 0.5, 0.5])
+    tex = None
+    for child in node:
+        if child.tag == "texture" and child.attrib.get("name") == "reflectance":
+            for sub in child:
+                if sub.attrib.get("name") == "filename":
+                    from redner_tpu.io.image import imread
+
+                    path = os.path.join(base_dir, sub.attrib["value"])
+                    if os.path.exists(path):
+                        tex = np.asarray(imread(path), np.float32)
+    # Mitsuba smooth-diffuse shades both sides; match that default.
+    return bid, make_material(
+        diffuse_reflectance=tex if tex is not None else reflectance,
+        two_sided=True,
+    )
+
+
+_RECT_VERTS = np.asarray(
+    [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+)
+_RECT_IDX = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+
+
+def load_mitsuba(filename: str):
+    """Parse a Mitsuba 0.x XML file -> redner_tpu Scene."""
+    tree = ET.parse(filename)
+    root = tree.getroot()
+    base_dir = os.path.dirname(os.path.abspath(filename))
+
+    camera = None
+    materials: List[Material] = []
+    mat_by_id: Dict[str, int] = {}
+    shapes = []
+    lights = []
+    envmap = None
+
+    def material_index(mat, mid):
+        nonlocal materials
+        if mid and mid in mat_by_id:
+            return mat_by_id[mid]
+        idx = len(materials)
+        materials.append(mat)
+        if mid:
+            mat_by_id[mid] = idx
+        return idx
+
+    for node in root:
+        if node.tag == "sensor":
+            fov = _float_of(node, "fov", 45.0)
+            to_world = np.eye(4, dtype=np.float32)
+            res = [256, 256]
+            for child in node:
+                if child.tag == "transform":
+                    to_world = parse_transform(child)
+                if child.tag == "film":
+                    for sub in child.iter():
+                        if sub.attrib.get("name") == "width":
+                            res[1] = int(sub.attrib["value"])
+                        if sub.attrib.get("name") == "height":
+                            res[0] = int(sub.attrib["value"])
+            # Mitsuba looks down +z with x left; flip x to match our frame.
+            flip = np.diag(np.asarray([-1.0, 1.0, 1.0, 1.0], np.float32))
+            c2w = to_world @ flip
+            camera = make_camera(
+                cam_to_world=c2w,
+                fov=jnp.asarray(fov),
+                intrinsic_mat=np.diag(
+                    np.asarray(
+                        [
+                            1.0 / np.tan(np.radians(0.5 * fov)),
+                            1.0 / np.tan(np.radians(0.5 * fov)),
+                            1.0,
+                        ],
+                        np.float32,
+                    )
+                ),
+                resolution=(res[0], res[1]),
+            )
+        elif node.tag == "bsdf":
+            bid, mat = parse_bsdf(node, base_dir)
+            material_index(mat, bid)
+        elif node.tag == "shape":
+            stype = node.attrib["type"]
+            to_world = np.eye(4, dtype=np.float32)
+            mat_idx = None
+            emission = None
+            fname = None
+            serialized_idx = 0
+            for child in node:
+                if child.tag == "transform":
+                    to_world = parse_transform(child)
+                elif child.tag == "ref":
+                    rid = child.attrib.get("id")
+                    if rid in mat_by_id:
+                        mat_idx = mat_by_id[rid]
+                elif child.tag == "bsdf":
+                    _, m = parse_bsdf(child, base_dir)
+                    mat_idx = material_index(m, child.attrib.get("id", ""))
+                elif child.tag == "emitter":
+                    emission = _rgb_of(child, "radiance", [1.0, 1.0, 1.0])
+                elif child.tag == "string" and child.attrib.get("name") == "filename":
+                    fname = child.attrib["value"]
+                elif child.tag == "integer" and child.attrib.get("name") == "shapeIndex":
+                    serialized_idx = int(child.attrib["value"])
+
+            verts = idx = uvs = normals = None
+            if stype == "obj" and fname:
+                from redner_tpu.io.obj import load_obj
+
+                _, mesh_list, _ = load_obj(os.path.join(base_dir, fname))
+                if mesh_list:
+                    _, mesh = mesh_list[0]
+                    verts, idx = mesh.vertices, mesh.indices
+                    uvs, normals = mesh.uvs, mesh.normals
+            elif stype == "serialized" and fname:
+                from redner_tpu.io.serialized import load_serialized
+
+                m = load_serialized(os.path.join(base_dir, fname), serialized_idx)
+                verts, idx = m.vertices, m.indices
+                uvs, normals = m.uvs, m.normals
+            elif stype == "rectangle":
+                verts, idx = _RECT_VERTS.copy(), _RECT_IDX.copy()
+            if verts is None:
+                continue
+            vh = np.concatenate([verts, np.ones((verts.shape[0], 1), np.float32)], 1)
+            verts_w = (vh @ to_world.T)[:, :3]
+            if normals is not None:
+                nmat = np.linalg.inv(to_world[:3, :3]).T
+                normals = normals @ nmat.T
+                norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+                normals = normals / np.maximum(norm, 1e-12)
+            if mat_idx is None:
+                mat_idx = material_index(
+                    make_material(
+                        diffuse_reflectance=np.asarray([0.5, 0.5, 0.5], np.float32),
+                        two_sided=True,
+                    ),
+                    "",
+                )
+            light_id = -1
+            if emission is not None:
+                light_id = len(lights)
+                lights.append(make_area_light(len(shapes), emission, two_sided=True))
+            shapes.append(
+                make_shape(
+                    vertices=verts_w,
+                    indices=idx,
+                    uvs=uvs,
+                    normals=normals,
+                    material_id=mat_idx,
+                    light_id=light_id,
+                )
+            )
+        elif node.tag == "emitter":
+            etype = node.attrib.get("type")
+            if etype == "envmap":
+                fname = None
+                to_world = np.eye(4, dtype=np.float32)
+                for child in node:
+                    if child.tag == "string" and child.attrib.get("name") == "filename":
+                        fname = child.attrib["value"]
+                    if child.tag == "transform":
+                        to_world = parse_transform(child)
+                if fname:
+                    from redner_tpu.io.image import imread
+
+                    values = imread(os.path.join(base_dir, fname))
+                    envmap = make_environment_map(values, env_to_world=to_world)
+
+    assert camera is not None, "Mitsuba scene has no sensor"
+    return make_scene(camera, shapes, materials, area_lights=lights, envmap=envmap)

@@ -139,9 +139,13 @@ def _accumulate_primary(
     sp: SurfacePoint,
     lm: LocalMaterial,
     weight,
+    skip_radiance: bool = False,
 ):
     """Emission + all G-buffer channels at the primary hit
-    (src/primary_contribution.cpp:6-437).  Returns (n, C)."""
+    (src/primary_contribution.cpp:6-437).  Returns (n, C).
+
+    skip_radiance: leave the radiance channel to `trace_radiance` (which
+    includes primary emission), only fill the non-radiance AOVs."""
     n = isect.tri_id.shape[0]
     dtype = sp.position.dtype
     img = jnp.zeros((n, ci.num_total_dimensions), dtype)
@@ -151,6 +155,8 @@ def _accumulate_primary(
     wi = -ray.dir
     for ch, off in zip(ci.channels, ci.offsets):
         if ch == Channels.radiance:
+            if skip_radiance:
+                continue
             emission, _ = _face_emission(fs, isect.tri_id, vm.dot(wi, sp.frame_n))
             emission = jnp.where(vmask, emission, 0.0)
             if fs.has_envmap and fs.envmap.directly_visible:
@@ -472,14 +478,18 @@ def trace_radiance(
         wi = -incoming_ray.dir
 
         if fs.num_lights > 0:
-            light_u = sampler_mod.uniforms(seed, lane_ids, sample_id, light_dim, 4)
+            light_u = sampler_mod.draw(
+                options.sampler_type, seed, lane_ids, sample_id, light_dim, 4
+            )
             ls = _sample_light_point(fs, sp.position, light_u)
             blocked = accel.occluded(fs, ls["shadow_ray"])
             nee = _nee_contribution(fs, lm, sp, wi, min_rough, ls, blocked)
         else:
             nee = jnp.zeros((n, 3), dtype)
 
-        bsdf_u = sampler_mod.uniforms(seed, lane_ids, sample_id, bsdf_dim, 3)
+        bsdf_u = sampler_mod.draw(
+            options.sampler_type, seed, lane_ids, sample_id, bsdf_dim, 3
+        )
         wo, wo_diff, next_min_rough = bsdf_sample(
             lm, sp, wi, bsdf_u[:, 0], bsdf_u[:, 1:3], min_rough, incoming_diff
         )
@@ -545,80 +555,34 @@ def render_sample(
             if options.sample_pixel_center:
                 jitter = jnp.full((n, 2), 0.5, dtype)
             else:
-                jitter = sampler_mod.uniforms(seed, pixel_ids, sample_id, cam_dim, 2)
+                jitter = sampler_mod.draw(
+                    options.sampler_type, seed, pixel_ids, sample_id, cam_dim, 2
+                )
         ray, ray_diff = sample_primary_rays(camera, jitter)
     else:
         ray, ray_diff = primary_rays
 
     isect = accel.intersect(fs, ray)
-    sp, ray_diff = _surface_point_at(fs, isect, ray, ray_diff)
+    sp, aov_diff = _surface_point_at(fs, isect, ray, ray_diff)
     mid = fs.face_material_id[jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)]
     lm = fetch_local_material(fs, sp, mid)
 
     active = isect.valid | jnp.ones((n,), bool)  # all lanes contribute AOVs
     throughput = jnp.ones((n, 3), dtype)
+    want_radiance = ci.radiance_dimension >= 0
     img = _accumulate_primary(
-        fs, ci, active, throughput, ray, ray_diff, isect, sp, lm, 1.0
+        fs, ci, active, throughput, ray, aov_diff, isect, sp, lm, 1.0,
+        skip_radiance=want_radiance,
     )
-    if ci.radiance_dimension < 0 or options.max_bounces == 0:
-        return img
-    roff = ci.radiance_dimension
-
-    active = isect.valid
-    min_rough = jnp.zeros((n,), dtype)
-    incoming_ray = ray
-    incoming_diff = ray_diff
-    for bounce in range(options.max_bounces):
-        light_dim = dim.next(sampler_mod.LIGHT_DIMS)
-        bsdf_dim = dim.next(sampler_mod.BSDF_DIMS)
-        wi = -incoming_ray.dir
-
-        # --- Next-event estimation ---
-        if fs.num_lights > 0:
-            light_u = sampler_mod.uniforms(seed, pixel_ids, sample_id, light_dim, 4)
-            ls = _sample_light_point(fs, sp.position, light_u)
-            blocked = accel.occluded(fs, ls["shadow_ray"])
-            nee = _nee_contribution(fs, lm, sp, wi, min_rough, ls, blocked)
-        else:
-            nee = jnp.zeros((n, 3), dtype)
-
-        # --- BSDF sampling ---
-        bsdf_u = sampler_mod.uniforms(seed, pixel_ids, sample_id, bsdf_dim, 3)
-        wo, wo_diff, next_min_rough = bsdf_sample(
-            lm, sp, wi, bsdf_u[:, 0], bsdf_u[:, 1:3], min_rough, incoming_diff
+    if want_radiance:
+        # The radiance estimate re-derives the primary hit internally; XLA
+        # CSE merges the duplicate intersect with the AOV pass above.
+        radiance = trace_radiance(
+            fs, options, seed, pixel_ids, sample_id, ray, ray_diff,
+            dim_start=dim.dim,
         )
-        bsdf_ray = Ray(
-            org=sp.position,
-            dir=jnp.where(active[..., None], wo, 0.0),
-            tmin=jnp.full((n,), 1e-3, dtype),
-            tmax=jnp.full((n,), jnp.inf, dtype),
-        )
-        bsdf_isect = accel.intersect(fs, bsdf_ray)
-        bsdf_sp, bsdf_diff = _surface_point_at(fs, bsdf_isect, bsdf_ray, wo_diff)
-
-        scatter, scatter_bsdf = _scatter_contribution(
-            fs, lm, sp, wi, min_rough, bsdf_ray, bsdf_isect, bsdf_sp
-        )
-
-        path_contrib = throughput * (nee + scatter)
-        img = img.at[:, roff : roff + 3].add(
-            jnp.where(active[..., None], path_contrib, 0.0)
-        )
-
-        # --- advance the path ---
-        throughput = jnp.where(active[..., None], throughput * scatter_bsdf, 0.0)
-        active = active & bsdf_isect.valid & (jnp.max(jnp.abs(throughput), axis=-1) > 0)
-        if bounce + 1 >= options.max_bounces:
-            break
-        sp = bsdf_sp
-        incoming_ray = bsdf_ray
-        incoming_diff = bsdf_diff
-        isect = bsdf_isect
-        min_rough = next_min_rough
-        mid = fs.face_material_id[
-            jnp.clip(bsdf_isect.tri_id, 0, fs.num_triangles - 1)
-        ]
-        lm = fetch_local_material(fs, sp, mid)
+        roff = ci.radiance_dimension
+        img = img.at[:, roff : roff + 3].add(radiance)
     return img
 
 

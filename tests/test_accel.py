@@ -1,0 +1,72 @@
+"""Acceleration-structure equivalence: all engines must agree on hits
+(reference treats Embree CPU as the golden reference for OptiX,
+SURVEY §4 tier 3)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from redner_tpu import accel
+from redner_tpu.core.types import Ray
+from redner_tpu.ops.cluster import intersect_clustered, occluded_clustered
+from redner_tpu.ops.intersect import intersect_mm, occluded_mm
+from redner_tpu.scene import flatten_scene
+from tests.scene_util import shadow_scene
+
+
+def _random_rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    org = jnp.asarray(rng.normal(0, 3, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(0, 1, (n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return Ray(
+        org=org, dir=d,
+        tmin=jnp.full((n,), 1e-3), tmax=jnp.full((n,), jnp.inf),
+    )
+
+
+@pytest.fixture(scope="module")
+def fs():
+    return flatten_scene(shadow_scene())
+
+
+def test_mm_matches_bruteforce(fs):
+    ray = _random_rays(512)
+    a = accel.intersect_bruteforce(fs, ray)
+    b = intersect_mm(fs, ray)
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+    finite = np.isfinite(np.asarray(a.t))
+    np.testing.assert_allclose(
+        np.asarray(a.t)[finite], np.asarray(b.t)[finite], rtol=1e-4
+    )
+
+
+def test_cluster_matches_mm(fs):
+    ray = _random_rays(512, seed=1)
+    a = intersect_mm(fs, ray)
+    b = intersect_clustered(fs, ray)
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+
+
+def test_occluded_engines_agree(fs):
+    ray = _random_rays(512, seed=2)
+    a = accel.occluded_bruteforce(fs, ray)
+    b = occluded_mm(fs, ray)
+    c = occluded_clustered(fs, ray)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_degenerate_rays_miss(fs):
+    n = 8
+    ray = Ray(
+        org=jnp.zeros((n, 3)),
+        dir=jnp.zeros((n, 3)),  # zero dir marks invalid (active_pixels.cpp:8-15)
+        tmin=jnp.zeros((n,)),
+        tmax=jnp.full((n,), jnp.inf),
+    )
+    for fn in (accel.intersect_bruteforce, intersect_mm, intersect_clustered):
+        isect = fn(fs, ray)
+        assert not bool(jnp.any(isect.valid))
+    for fn in (accel.occluded_bruteforce, occluded_mm, occluded_clustered):
+        assert not bool(jnp.any(fn(fs, ray)))

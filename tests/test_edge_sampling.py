@@ -1,0 +1,177 @@
+"""Edge-sampling correctness: visibility gradients vs ground truth.
+
+Primary edges: a pure-visibility translation of a triangle (AD alone gives
+zero; the finite difference of the matched-seed render is the reference).
+
+Secondary edges: single-shading-point test against *deterministic
+quadrature* of the direct-lighting integral over the light with an
+occluder — the sharpest unbiasedness check available (MC-free ground
+truth), mirroring the reference's shadow tests (tests/test_shadow_*.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import redner_tpu as rt
+from redner_tpu import accel
+from redner_tpu.core.types import Ray, RayDifferential
+from redner_tpu.edge import secondary_edge_surrogate
+from redner_tpu.material import bsdf
+from redner_tpu.render import RenderOptions, _surface_point_at, trace_radiance
+from redner_tpu.scene import fetch_local_material, flatten_scene
+from tests.scene_util import single_triangle_scene
+
+
+def test_primary_edge_gradient_matches_fd():
+    scene = single_triangle_scene(res=(16, 16))
+    opts = rt.RenderOptions(num_samples=16, max_bounces=1)
+    tri = scene.shapes[0]
+
+    def loss(tx, use_edge=True):
+        o = opts if use_edge else rt.RenderOptions(
+            num_samples=16, max_bounces=1,
+            use_primary_edge_sampling=False,
+            use_secondary_edge_sampling=False,
+        )
+        v = tri.vertices + jnp.array([tx, 0.0, 0.0])
+        s = scene.replace(shapes=(tri.replace(vertices=v),) + scene.shapes[1:])
+        return jnp.sum(rt.render(s, o, seed=0))
+
+    g_edge = jax.grad(loss)(0.0)
+    g_noedge = jax.grad(lambda t: loss(t, False))(0.0)
+    eps = 0.02
+    fd = (loss(eps) - loss(-eps)) / (2 * eps)
+    # AD alone misses the silhouette term entirely.
+    assert abs(float(g_noedge)) < 0.05 * abs(float(fd))
+    assert jnp.allclose(g_edge, fd, rtol=0.35), (float(g_edge), float(fd))
+
+
+def _soft_scene(dx=0.0):
+    cam = rt.make_camera(position=[0., 2., -6.], look_at=[0., 0., 0.],
+                         up=[0., 1., 0.], fov=45., resolution=(4, 4))
+    floor = rt.make_shape(
+        vertices=[[-4., 0., -4.], [4., 0., -4.], [-4., 0., 4.], [4., 0., 4.]],
+        indices=[[0, 2, 1], [1, 2, 3]], material_id=0)
+    blocker = rt.make_shape(
+        vertices=[[-0.6 + dx, 1.2, -0.5], [0.6 + dx, 1.2, -0.5],
+                  [-0.6 + dx, 1.2, 0.7], [0.6 + dx, 1.2, 0.7]],
+        indices=[[0, 2, 1], [1, 2, 3]], material_id=0)
+    light = rt.make_shape(
+        vertices=[[-2., 3., -2.], [2., 3., -2.], [-2., 3., 2.], [2., 3., 2.]],
+        indices=[[0, 1, 2], [1, 3, 2]], material_id=0, light_id=0)
+    mat = rt.make_material(diffuse_reflectance=[0.5, 0.5, 0.5])
+    return rt.make_scene(cam, [floor, blocker, light], [mat],
+                         area_lights=[rt.make_area_light(2, [8., 8., 8.])])
+
+
+_P0 = np.array([0.3, 0.0, 0.1])
+
+
+def _L_quadrature(dx, n=400):
+    """Direct radiance at _P0 by deterministic quadrature over the light."""
+    xs = (np.arange(n) + 0.5) / n * 4.0 - 2.0
+    X, Z = np.meshgrid(xs, xs, indexing="ij")
+    lp = np.stack([X, np.full_like(X, 3.0), Z], -1)
+    d = lp - _P0
+    dist2 = (d * d).sum(-1)
+    w = d / np.sqrt(dist2)[..., None]
+    cos_p = w[..., 1]
+    cos_l = w[..., 1]
+    tt = (1.2 - _P0[1]) / d[..., 1]
+    hx = _P0[0] + tt * d[..., 0]
+    hz = _P0[2] + tt * d[..., 2]
+    blocked = (
+        (hx >= -0.6 + dx) & (hx <= 0.6 + dx) & (hz >= -0.5) & (hz <= 0.7)
+        & (tt > 0) & (tt < 1)
+    )
+    integ = (0.5 / np.pi) * 8.0 * cos_p * cos_l / dist2 * (~blocked)
+    return integ.sum() * (4.0 / n) ** 2
+
+
+def test_secondary_edge_unbiased_single_point():
+    eps = 0.02
+    # x3: the estimator sums the RGB channels (equal here).
+    gt = 3.0 * (_L_quadrature(eps) - _L_quadrature(-eps)) / (2 * eps)
+
+    scene = _soft_scene()
+    fs = flatten_scene(scene)
+    options = RenderOptions(num_samples=1, max_bounces=1)
+    NL = 4096
+    p = jnp.broadcast_to(jnp.asarray(_P0, jnp.float32), (NL, 3))
+    ray = Ray(
+        org=p + jnp.array([0., 1., 0.]),
+        dir=jnp.broadcast_to(jnp.array([0., -1., 0.]), (NL, 3)),
+        tmin=jnp.zeros(NL), tmax=jnp.full((NL,), jnp.inf),
+    )
+    isect = accel.intersect(fs, ray)
+    sp, _ = _surface_point_at(fs, isect, ray, RayDifferential.zero((NL,)))
+    mid = fs.face_material_id[jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)]
+    lm = fetch_local_material(fs, sp, mid)
+    wi_v = -ray.dir
+    min_rough = jnp.zeros(NL)
+
+    def grad_dx(seed):
+        def surrogate(dxv):
+            fs2 = flatten_scene(_soft_scene(dxv))
+
+            def bsdf_eval(wo):
+                return bsdf(lm, sp, wi_v, wo, min_rough)
+
+            return secondary_edge_surrogate(
+                fs2, options, jnp.uint32(seed), jnp.uint32(0),
+                sp.position, wi_v, bsdf_eval, trace_radiance,
+                jnp.ones((NL, 3)), isect.valid,
+            ) / NL
+
+        return jax.grad(surrogate)(0.0)
+
+    g = jax.jit(grad_dx)
+    est = np.mean([float(g(s)) for s in range(3)])
+    assert np.isfinite(est)
+    assert abs(est - gt) < 0.25 * abs(gt), (est, gt)
+
+
+def test_secondary_edge_nee_importance_reduces_variance():
+    """With the NEE kernel the per-seed spread should be modest."""
+    scene = _soft_scene()
+    fs = flatten_scene(scene)
+    options = RenderOptions(num_samples=1, max_bounces=1)
+    NL = 1024
+    p = jnp.broadcast_to(jnp.asarray(_P0, jnp.float32), (NL, 3))
+    ray = Ray(
+        org=p + jnp.array([0., 1., 0.]),
+        dir=jnp.broadcast_to(jnp.array([0., -1., 0.]), (NL, 3)),
+        tmin=jnp.zeros(NL), tmax=jnp.full((NL,), jnp.inf),
+    )
+    isect = accel.intersect(fs, ray)
+    sp, _ = _surface_point_at(fs, isect, ray, RayDifferential.zero((NL,)))
+    mid = fs.face_material_id[jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)]
+    lm = fetch_local_material(fs, sp, mid)
+    wi_v = -ray.dir
+    min_rough = jnp.zeros(NL)
+    nee = jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.0], jnp.float32), (NL, 3)
+    )
+
+    def grad_dx(seed, nee_dir):
+        def surrogate(dxv):
+            fs2 = flatten_scene(_soft_scene(dxv))
+
+            def bsdf_eval(wo):
+                return bsdf(lm, sp, wi_v, wo, min_rough)
+
+            return secondary_edge_surrogate(
+                fs2, options, jnp.uint32(seed), jnp.uint32(0),
+                sp.position, wi_v, bsdf_eval, trace_radiance,
+                jnp.ones((NL, 3)), isect.valid, nee_dir=nee_dir,
+            ) / NL
+
+        return jax.grad(surrogate)(0.0)
+
+    g = jax.jit(grad_dx)
+    vals = np.asarray([float(g(s, nee)) for s in range(4)])
+    assert np.isfinite(vals).all()
+    spread = vals.std()
+    assert spread < 0.6 * max(abs(vals.mean()), 0.1), (vals.mean(), spread)

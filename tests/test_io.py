@@ -1,0 +1,164 @@
+"""IO round-trips: OBJ/MTL, serialized meshes, images, Object API, and the
+Mitsuba loader (reference pyredner loaders / tests)."""
+
+import os
+import struct
+import zlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import redner_tpu as rt
+
+
+def test_obj_roundtrip(tmp_path):
+    verts = np.asarray(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
+    )
+    idx = np.asarray([[0, 1, 2], [1, 3, 2]], np.int32)
+    uvs = np.asarray([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    shape = rt.make_shape(vertices=verts, indices=idx, uvs=uvs)
+    path = str(tmp_path / "quad.obj")
+    rt.save_obj(shape, path)
+    material_map, mesh_list, light_map = rt.load_obj(path)
+    assert len(mesh_list) == 1
+    _, mesh = mesh_list[0]
+    assert mesh.vertices.shape == (4, 3)
+    assert mesh.indices.shape == (2, 3)
+    np.testing.assert_allclose(np.sort(mesh.vertices, 0), np.sort(verts, 0), atol=1e-5)
+    assert mesh.uvs is not None and mesh.uvs.shape == (4, 2)
+
+
+def test_obj_with_mtl(tmp_path):
+    mtl = tmp_path / "m.mtl"
+    mtl.write_text(
+        "newmtl red\nKd 0.8 0.1 0.1\nKs 0.5 0.5 0.5\nNs 100\n"
+        "newmtl glow\nKd 0 0 0\nKe 5 5 5\n"
+    )
+    obj = tmp_path / "tri.obj"
+    obj.write_text(
+        "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "usemtl red\nf 1 2 3\nusemtl glow\nf 3 2 1\n"
+    )
+    material_map, mesh_list, light_map = rt.load_obj(str(obj))
+    assert set(material_map) == {"red", "glow"}
+    kd = np.asarray(material_map["red"].diffuse_reflectance.texels)
+    np.testing.assert_allclose(kd, [0.8, 0.1, 0.1], atol=1e-6)
+    rough = float(np.asarray(material_map["red"].roughness.texels)[0])
+    assert abs(rough - 2.0 / 102.0) < 1e-6
+    assert "glow" in light_map
+    np.testing.assert_allclose(light_map["glow"], [5, 5, 5])
+    assert len(mesh_list) == 2
+
+
+def test_obj_return_objects(tmp_path):
+    obj = tmp_path / "t.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    objects = rt.load_obj(str(obj), return_objects=True)
+    assert len(objects) == 1
+    cam = rt.make_camera(position=[0, 0, -3], look_at=[0, 0, 0], up=[0, 1, 0],
+                         fov=45.0, resolution=(8, 8))
+    scene = rt.scene_from_objects(cam, objects)
+    assert scene.num_shapes == 1
+
+
+def _write_serialized(path, verts, idx, version=4):
+    flags = 0x1000  # single precision
+    blob = struct.pack("<I", flags)
+    blob += b"mesh\x00"
+    blob += struct.pack("<QQ", verts.shape[0], idx.shape[0])
+    blob += verts.astype(np.float32).tobytes()
+    blob += idx.astype(np.uint32).tobytes()
+    comp = zlib.compress(blob)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<HH", 0x041C, version))
+        f.write(comp)
+        f.write(struct.pack("<Q", 0))  # offset of mesh 0
+        f.write(struct.pack("<I", 1))
+
+
+def test_load_serialized(tmp_path):
+    verts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.asarray([[0, 1, 2]], np.uint32)
+    path = str(tmp_path / "m.serialized")
+    _write_serialized(path, verts, idx)
+    mesh = rt.load_serialized(path)
+    np.testing.assert_allclose(mesh.vertices, verts)
+    np.testing.assert_array_equal(mesh.indices, idx.astype(np.int32))
+
+
+def test_image_roundtrip_png(tmp_path):
+    img = np.random.default_rng(0).uniform(0.0, 1.0, (8, 8, 3)).astype(np.float32)
+    path = str(tmp_path / "img.png")
+    rt.imwrite(img, path)
+    back = rt.imread(path)
+    assert back.shape == (8, 8, 3)
+    np.testing.assert_allclose(back, img, atol=2.0 / 255.0)
+
+
+def test_image_roundtrip_exr(tmp_path):
+    img = np.random.default_rng(0).uniform(0.0, 4.0, (8, 8, 3)).astype(np.float32)
+    path = str(tmp_path / "img.exr")
+    try:
+        rt.imwrite(img, path)
+        back = rt.imread(path)
+    except Exception:
+        pytest.skip("EXR support unavailable in OpenCV build")
+    np.testing.assert_allclose(back, img, atol=1e-3)
+
+
+def test_mitsuba_loader(tmp_path):
+    xml = tmp_path / "scene.xml"
+    xml.write_text(
+        """<scene version="0.5.0">
+  <sensor type="perspective">
+    <float name="fov" value="45"/>
+    <transform name="toWorld">
+      <lookat origin="0, 0, -5" target="0, 0, 0" up="0, 1, 0"/>
+    </transform>
+    <film type="ldrfilm">
+      <integer name="width" value="32"/>
+      <integer name="height" value="16"/>
+    </film>
+  </sensor>
+  <bsdf type="diffuse" id="gray">
+    <rgb name="reflectance" value="0.5, 0.5, 0.5"/>
+  </bsdf>
+  <shape type="rectangle">
+    <ref id="gray"/>
+  </shape>
+  <shape type="rectangle">
+    <transform name="toWorld">
+      <translate x="0" y="0" z="-7"/>
+    </transform>
+    <emitter type="area">
+      <rgb name="radiance" value="10, 10, 10"/>
+    </emitter>
+  </shape>
+</scene>"""
+    )
+    scene = rt.load_mitsuba(str(xml))
+    assert scene.num_shapes == 2
+    assert len(scene.area_lights) == 1
+    assert scene.camera.resolution == (16, 32)
+    img = rt.render_image(scene, rt.RenderOptions(num_samples=2, max_bounces=1), seed=0)
+    assert img.shape == (16, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(img)))
+    assert float(img.sum()) > 0
+
+
+def test_sphere_and_quad_light():
+    v, idx, uvs, normals = rt.generate_sphere(8, 16)
+    assert v.shape[0] == 8 * 16
+    r = jnp.linalg.norm(v, axis=-1)
+    np.testing.assert_allclose(np.asarray(r), 1.0, atol=1e-5)
+    q = rt.generate_quad_light([0, 5, 0], [0, 0, 0], [2.0, 2.0], [10.0, 10.0, 10.0])
+    assert q.vertices.shape == (4, 3)
+    assert q.light_intensity is not None
+
+
+def test_sh_reconstruct():
+    coeffs = jnp.zeros((9,)).at[0].set(1.0)
+    img = rt.sh_reconstruct(coeffs, (16, 8))
+    np.testing.assert_allclose(np.asarray(img), 0.282095, atol=1e-5)

@@ -49,3 +49,40 @@ def test_dim_allocator_schedule():
     assert d.next(sampler.LIGHT_DIMS) == 2
     assert d.next(sampler.BSDF_DIMS) == 6
     assert d.next(sampler.LIGHT_DIMS) == 9
+
+
+def test_sobol_stratification():
+    """Owen-scrambled Sobol: perfectly stratified low dims
+    (reference tests/test_qmc.py analog at the sampler level)."""
+    n = 256
+    pix = jnp.zeros((n,), jnp.int32)
+    sid = jnp.arange(n)
+    for dim in range(4):
+        u = np.asarray(sampler.sobol_uniform(7, pix, sid, dim))
+        counts, _ = np.histogram(u, bins=16, range=(0, 1))
+        assert (counts == 16).all(), (dim, counts)
+
+
+def test_sobol_beats_hash_on_smooth_integrand():
+    n = 256
+    pix = jnp.zeros((n,), jnp.int32)
+    sid = jnp.arange(n)
+    uh = sampler.uniforms(7, pix, sid, 0, 2)
+    us = sampler.sobol_uniforms(7, pix, sid, 0, 2)
+    err_h = abs(float(jnp.mean(uh[:, 0] * uh[:, 1])) - 0.25)
+    err_s = abs(float(jnp.mean(us[:, 0] * us[:, 1])) - 0.25)
+    assert err_s < err_h * 0.25
+
+
+def test_sobol_pixel_decorrelation():
+    n = 4096
+    sid = jnp.zeros((n,), jnp.int32)
+    a = np.asarray(sampler.sobol_uniform(7, jnp.arange(n), sid, 0))
+    b = np.asarray(sampler.sobol_uniform(7, jnp.arange(n) + 1, sid, 0))
+    assert abs(np.corrcoef(a, b)[0, 1]) < 0.05
+
+
+def test_sobol_replay_exact():
+    a = sampler.sobol_uniforms(3, jnp.arange(64), 5, 2, 4)
+    b = sampler.sobol_uniforms(3, jnp.arange(64), 5, 2, 4)
+    assert jnp.array_equal(a, b)
