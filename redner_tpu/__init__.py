@@ -13,7 +13,8 @@ from redner_tpu.camera import Camera, CameraType, make_camera
 from redner_tpu.channels import ChannelInfo, Channels
 from redner_tpu.core.types import Intersection, Ray, RayDifferential, SurfacePoint
 from redner_tpu.envmap import EnvironmentMap, make_environment_map
-from redner_tpu.geometry import Shape, compute_vertex_normal, make_shape, smooth
+from redner_tpu.geometry import (Shape, compute_uvs, compute_vertex_normal,
+                                 make_shape, smooth)
 from redner_tpu.light import AreaLight, make_area_light
 from redner_tpu.material import Material, make_material
 from redner_tpu.render import RenderOptions, render_image
@@ -37,6 +38,8 @@ from redner_tpu.serialize import (load_scene, load_state_dict, save_scene,
                                   state_dict)
 from redner_tpu.screen_gradient import (screen_gradient_image,
                                         visualize_screen_gradient)
+from redner_tpu.geometry_images import generate_geometry_image
+from redner_tpu.meshops import load_obj_fast, weld_mesh
 
 __version__ = "0.1.0"
 

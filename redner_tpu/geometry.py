@@ -385,3 +385,20 @@ def smooth(vertices, indices, lmd: float = 0.5):
             cnt = cnt.at[indices[:, i]].add(1.0)
     mean = acc / jnp.maximum(cnt, 1.0)[..., None]
     return vertices + lmd * (mean - vertices)
+
+
+def compute_uvs(shape: Shape, normal_cos_threshold: float = 0.75) -> Shape:
+    """Automatic UV unwrap of a Shape via the native atlas
+    (reference pyredner.compute_uvs, pyredner/shape.py:279-326)."""
+    import numpy as np
+
+    from redner_tpu import meshops
+
+    uvs, uv_idx = meshops.compute_uvs(
+        np.asarray(shape.vertices), np.asarray(shape.indices),
+        normal_cos_threshold,
+    )
+    return shape.replace(
+        uvs=jnp.asarray(uvs, shape.vertices.dtype),
+        uv_indices=jnp.asarray(uv_idx, jnp.int32),
+    )
