@@ -39,16 +39,26 @@ def main():
     fwd = jax.jit(lambda s: rt.render_image(s, options, seed=11))
     fwdbwd = jax.jit(jax.grad(loss, allow_int=True))
 
-    # Compile + warmup
-    fwd(scene).block_until_ready()
-    g = fwdbwd(scene)
-    jax.block_until_ready(g)
+    # Compile + warmup.  NOTE: on the remote-TPU backend block_until_ready
+    # does not guarantee execution completed; jax.device_get (full
+    # materialization) is the only reliable fence, so every timed
+    # iteration fetches a scalar reduction of the result.
+    import numpy as _np
 
-    iters = 5
+    def run_and_fence(fn, arg):
+        out = fn(arg)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return _np.asarray(jnp.sum(leaf))
+
+    run_and_fence(fwd, scene)
+    run_and_fence(fwdbwd, scene)
+
+    # Enqueue all iterations, fence once — the tunnel adds ~40ms per host
+    # sync, so per-iteration fencing would measure latency, not compute.
+    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        g = fwdbwd(scene)
-    jax.block_until_ready(g)
+    outs = [fwdbwd(scene) for _ in range(iters)]
+    run_and_fence(lambda s: outs[-1], scene)
     dt = (time.perf_counter() - t0) / iters
 
     num_pixels = res[0] * res[1]

@@ -9,7 +9,8 @@ functional transforms for gradients, shard_map over device meshes for
 multi-chip scaling.
 """
 
-from redner_tpu.camera import Camera, CameraType, make_camera
+from redner_tpu.camera import (Camera, CameraType, automatic_camera_placement,
+                               generate_intrinsic_mat, make_camera)
 from redner_tpu.channels import ChannelInfo, Channels
 from redner_tpu.core.types import Intersection, Ray, RayDifferential, SurfacePoint
 from redner_tpu.envmap import EnvironmentMap, make_environment_map
@@ -40,6 +41,9 @@ from redner_tpu.screen_gradient import (screen_gradient_image,
                                         visualize_screen_gradient)
 from redner_tpu.geometry_images import generate_geometry_image
 from redner_tpu.meshops import load_obj_fast, weld_mesh
+from redner_tpu.timing import (get_print_timing, profile_trace,
+                               set_print_timing, timed)
+from redner_tpu.device import get_device, set_device, use_gpu
 
 __version__ = "0.1.0"
 

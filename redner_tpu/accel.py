@@ -147,14 +147,25 @@ def occluded_bruteforce(fs, ray: Ray) -> jnp.ndarray:
     return jax.lax.stop_gradient(blocked & live).reshape(ray.org.shape[:-1])
 
 
-# Above this count the LBVH traversal takes over from the matmul sweep.
+# Above this count the clustered traversal takes over from the full sweep.
 MM_MAX_TRIS = 16384
 
 
+def _on_tpu() -> bool:
+    """True when tracing for a TPU backend (Pallas kernels available)."""
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
 def intersect(fs, ray: Ray) -> Intersection:
-    """Closest-hit dispatch: MXU matmul sweep for small/medium scenes,
-    LBVH traversal for large ones."""
+    """Closest-hit dispatch: fused Pallas sweep on TPU, MXU matmul sweep
+    elsewhere; Morton-clustered culling for large scenes."""
     if fs.num_triangles <= MM_MAX_TRIS:
+        if _on_tpu():
+            from redner_tpu.ops.pallas_intersect import intersect_pallas
+
+            return intersect_pallas(fs, ray)
         from redner_tpu.ops.intersect import intersect_mm
 
         return intersect_mm(fs, ray)
@@ -165,6 +176,10 @@ def intersect(fs, ray: Ray) -> Intersection:
 
 def occluded(fs, ray: Ray) -> jnp.ndarray:
     if fs.num_triangles <= MM_MAX_TRIS:
+        if _on_tpu():
+            from redner_tpu.ops.pallas_intersect import occluded_pallas
+
+            return occluded_pallas(fs, ray)
         from redner_tpu.ops.intersect import occluded_mm
 
         return occluded_mm(fs, ray)

@@ -377,3 +377,49 @@ def project(camera: Camera, p_world: jnp.ndarray):
     if camera.camera_type in (CameraType.perspective, CameraType.orthographic):
         valid = valid & (pt_cam[..., 2] > camera.clip_near)
     return screen, valid, pt_cam
+
+
+# ------------------------------------------------------------------
+# Camera utilities (pyredner/camera.py:193-268)
+# ------------------------------------------------------------------
+
+
+def automatic_camera_placement(shapes, resolution, fov_deg=45.0,
+                               dtype=jnp.float32) -> Camera:
+    """Place a camera that frames all given shapes/objects
+    (reference pyredner.automatic_camera_placement, pyredner/camera.py:193-233).
+    """
+    vs = [s.vertices for s in shapes]
+    allv = jnp.concatenate(vs, axis=0).astype(dtype)
+    vmin = jnp.min(allv, axis=0)
+    vmax = jnp.max(allv, axis=0)
+    center = 0.5 * (vmin + vmax)
+    radius = 0.5 * float(jnp.max(vmax - vmin)) + 1e-6
+    fov = jnp.asarray(fov_deg, dtype)
+    distance = radius / jnp.tan(xf.radians(0.5 * fov)) * 2.0
+    position = center + jnp.asarray([0.0, 0.0, -1.0], dtype) * distance
+    return make_camera(
+        position=position,
+        look_at=center,
+        up=jnp.asarray([0.0, 1.0, 0.0], dtype),
+        fov=fov,
+        resolution=resolution,
+        dtype=dtype,
+    )
+
+
+def generate_intrinsic_mat(fx, fy, skew, x0, y0, dtype=jnp.float32):
+    """3x3 intrinsic matrix from the five standard parameters
+    (reference pyredner.generate_intrinsic_mat, pyredner/camera.py:234-268)."""
+    fx = jnp.asarray(fx, dtype)
+    fy = jnp.asarray(fy, dtype)
+    skew = jnp.asarray(skew, dtype)
+    x0 = jnp.asarray(x0, dtype)
+    y0 = jnp.asarray(y0, dtype)
+    z = jnp.zeros((), dtype)
+    o = jnp.ones((), dtype)
+    return jnp.stack([
+        jnp.stack([fx, skew, x0]),
+        jnp.stack([z, fy, y0]),
+        jnp.stack([z, z, o]),
+    ])

@@ -64,13 +64,19 @@ def render_image_sharded(
 
 
 def make_train_step(options: RenderOptions, mesh: Optional[Mesh] = None,
-                    axis_name: str = PIXEL_AXIS, learning_rate: float = 1e-2):
+                    axis_name: str = PIXEL_AXIS, learning_rate: float = 1e-2,
+                    trainable=None):
     """A jitted SPMD training step: render -> L2 loss vs target -> grad ->
-    SGD update on every float leaf of the scene.
+    SGD update on float leaves of the scene.
 
     This is the multi-chip training-step shape the reference exercises with
     its Adam loops (tests/test_single_triangle.py:87-170), sharded over the
     pixel axis.  Returns step(scene, target, seed) -> (scene', loss).
+
+    trainable: optional predicate `path_str -> bool` selecting which leaves
+    to update (e.g. `lambda p: 'diffuse' in p`).  Default updates every
+    float leaf — fine for a dry run, usually too coarse for real fits
+    (derived camera matrices drift independently).
     """
     if mesh is None:
         mesh = make_mesh(axis_name=axis_name)
@@ -80,23 +86,26 @@ def make_train_step(options: RenderOptions, mesh: Optional[Mesh] = None,
         img = render_image(scene, options, seed=seed, pixel_sharding=sharding)
         return jnp.mean((img - target) ** 2)
 
+    from redner_tpu.serialize import _path_str
+
     @partial(jax.jit, static_argnames=())
     def step(scene, target, seed):
         loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
             scene, target, seed
         )
 
-        def upd(p, g):
+        def upd(path, p, g):
             if (
                 hasattr(p, "dtype")
                 and jnp.issubdtype(p.dtype, jnp.floating)
                 and hasattr(g, "dtype")
                 and jnp.issubdtype(g.dtype, jnp.floating)
+                and (trainable is None or trainable(_path_str(path)))
             ):
                 return p - learning_rate * g
             return p
 
-        new_scene = jax.tree_util.tree_map(upd, scene, grads)
+        new_scene = jax.tree_util.tree_map_with_path(upd, scene, grads)
         return new_scene, loss
 
     return step

@@ -70,3 +70,17 @@ def test_degenerate_rays_miss(fs):
         assert not bool(jnp.any(isect.valid))
     for fn in (accel.occluded_bruteforce, occluded_mm, occluded_clustered):
         assert not bool(jnp.any(fn(fs, ray)))
+
+
+def test_pallas_kernel_matches_mm_interpret(fs):
+    """Fused Pallas kernel vs the XLA matmul path (interpret mode on CPU)."""
+    from redner_tpu.ops.pallas_intersect import (intersect_pallas,
+                                                 occluded_pallas)
+
+    ray = _random_rays(700, seed=3)  # non-multiple of the tile size
+    a = intersect_mm(fs, ray)
+    b = intersect_pallas(fs, ray, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+    occ_a = occluded_mm(fs, ray)
+    occ_b = occluded_pallas(fs, ray, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
