@@ -459,6 +459,7 @@ def secondary_edge_surrogate(
     L_both = trace_fn(
         fs, options, edge_seed, lane2, sample_id, ray2,
         RayDifferential.zero((2 * P,), dtype), 110,
+        camera_ray=False,  # directly_visible must not hide lights here
     )
     L_plus = sg(L_both[:P])
     L_minus = sg(L_both[P:])

@@ -123,10 +123,13 @@ def _coeff_layout(fs):
 
 
 def _prepare_rays(ray: Ray):
-    org = ray.org.reshape(-1, 3)
-    d = ray.dir.reshape(-1, 3)
-    tmin = ray.tmin.reshape(-1)
-    tmax = ray.tmax.reshape(-1)
+    # Intersection is non-differentiable by contract (ids + stop-grad t);
+    # cut tangents BEFORE pallas_call — its jvp rule must never trigger.
+    sg = jax.lax.stop_gradient
+    org = sg(ray.org).reshape(-1, 3)
+    d = sg(ray.dir).reshape(-1, 3)
+    tmin = sg(ray.tmin).reshape(-1)
+    tmax = sg(ray.tmax).reshape(-1)
     n = org.shape[0]
     live = jnp.sum(d * d, axis=-1) > 0
     ntile = (n + TILE_N - 1) // TILE_N

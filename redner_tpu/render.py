@@ -109,11 +109,12 @@ def _surface_point_at(fs: FlatScene, isect: Intersection, ray: Ray,
     )
 
 
-def _face_emission(fs: FlatScene, tri_id, wi_dot_n):
+def _face_emission(fs: FlatScene, tri_id, wi_dot_n, camera_ray: bool = True):
     """Area-light emission toward wi for hit faces; zeros for non-emitters.
 
     wi_dot_n: dot(wi, shading normal) used for the two-sided test
-    (src/primary_contribution.cpp:13-23).
+    (src/primary_contribution.cpp:13-23).  `directly_visible` only hides
+    lights from *camera* rays — secondary (edge) rays still see them.
     """
     tid = jnp.clip(tri_id, 0, fs.num_triangles - 1)
     lid = fs.face_light_id[tid]
@@ -123,8 +124,9 @@ def _face_emission(fs: FlatScene, tri_id, wi_dot_n):
     lid_c = jnp.clip(lid, 0, fs.num_area_lights - 1)
     intensity = fs.light_intensity[lid_c]
     two_sided = fs.light_two_sided[lid_c]
-    visible = fs.light_directly_visible[lid_c]
-    ok = is_light & visible & (two_sided | (wi_dot_n > 0))
+    ok = is_light & (two_sided | (wi_dot_n > 0))
+    if camera_ray:
+        ok = ok & fs.light_directly_visible[lid_c]
     return jnp.where(ok[..., None], intensity, 0.0), is_light
 
 
@@ -436,6 +438,7 @@ def trace_radiance(
     ray_diff: RayDifferential,
     dim_start: int = sampler_mod.CAMERA_DIMS,
     include_primary_emission: bool = True,
+    camera_ray: bool = True,
 ):
     """Full-path radiance estimate for arbitrary primary rays -> (n, 3).
 
@@ -457,9 +460,11 @@ def trace_radiance(
 
     if include_primary_emission:
         wi = -ray.dir
-        emission, _ = _face_emission(fs, isect.tri_id, vm.dot(wi, sp.frame_n))
+        emission, _ = _face_emission(
+            fs, isect.tri_id, vm.dot(wi, sp.frame_n), camera_ray=camera_ray
+        )
         emission = jnp.where(isect.valid[..., None], emission, 0.0)
-        if fs.has_envmap and fs.envmap.directly_visible:
+        if fs.has_envmap and (fs.envmap.directly_visible or not camera_ray):
             env = envmap_eval(fs.envmap, ray.dir, ray_diff)
             live = jnp.sum(ray.dir * ray.dir, axis=-1) > 0
             emission = jnp.where((live & ~isect.valid)[..., None], env, emission)
