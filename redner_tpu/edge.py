@@ -304,6 +304,7 @@ def secondary_edge_surrogate(
     d_pixel,
     active,
     nee_dir=None,
+    dim_base: int = 100,
 ):
     """Surrogate scalar for secondary-edge gradients at shading points.
 
@@ -334,11 +335,11 @@ def secondary_edge_surrogate(
 
     # --- M uniform candidates per shading point ---
     # Candidate edge ids: (P, M) via the RNG (dims 100+).
-    u_cand = sampler_mod.uniforms(edge_seed, lane, sample_id, 100, 2)
     m_ids = jnp.arange(RESAMPLE_M, dtype=jnp.int32)
     # Stratified-ish: decorrelated ids per (pixel, m)
     cand_u = sampler_mod.uniform(
-        edge_seed, lane[:, None] * RESAMPLE_M + m_ids[None, :], sample_id, 104
+        edge_seed, lane[:, None] * RESAMPLE_M + m_ids[None, :], sample_id,
+        dim_base + 4,
     )
     cand = jnp.clip((cand_u * E).astype(jnp.int32), 0, E - 1)  # (P, M)
 
@@ -382,7 +383,7 @@ def secondary_edge_surrogate(
     has_cand = w_sum > 0
     # Resample one candidate proportional to w_cand.
     cdf = jnp.cumsum(w_cand, axis=-1)
-    u_sel = sampler_mod.uniform(edge_seed, lane, sample_id, 105)
+    u_sel = sampler_mod.uniform(edge_seed, lane, sample_id, dim_base + 5)
     pick = jnp.sum(
         (cdf < (u_sel * w_sum)[:, None]).astype(jnp.int32), axis=-1
     )
@@ -403,7 +404,7 @@ def secondary_edge_surrogate(
     av = fs.vertices[edges.v0[sel]]  # (P, 3) differentiable
     bv = fs.vertices[edges.v1[sel]]
     Kt = T_CANDIDATES
-    t_jit = sampler_mod.uniform(edge_seed, lane, sample_id, 106)
+    t_jit = sampler_mod.uniform(edge_seed, lane, sample_id, dim_base + 6)
     tk = (jnp.arange(Kt, dtype=dtype)[None, :] + t_jit[:, None]) / Kt  # (P,Kt)
     xk = (1.0 - tk)[..., None] * sg(av)[:, None, :] + tk[..., None] * sg(bv)[:, None, :]
     wk_dir = vm.normalize(xk - p_sg[:, None, :])
@@ -414,7 +415,7 @@ def secondary_edge_surrogate(
         wt = jnp.ones((P, Kt), dtype)
     wt_sum = jnp.sum(wt, axis=-1)
     cdf_t = jnp.cumsum(wt, axis=-1)
-    u_t = sampler_mod.uniform(edge_seed, lane, sample_id, 107)
+    u_t = sampler_mod.uniform(edge_seed, lane, sample_id, dim_base + 7)
     pick_t = jnp.clip(
         jnp.sum((cdf_t < (u_t * wt_sum)[:, None]).astype(jnp.int32), axis=-1),
         0, Kt - 1,
@@ -458,7 +459,7 @@ def secondary_edge_surrogate(
     lane2 = jnp.concatenate([lane, lane + P])
     L_both = trace_fn(
         fs, options, edge_seed, lane2, sample_id, ray2,
-        RayDifferential.zero((2 * P,), dtype), 110,
+        RayDifferential.zero((2 * P,), dtype), dim_base + 10,
         camera_ray=False,  # directly_visible must not hide lights here
     )
     L_plus = sg(L_both[:P])

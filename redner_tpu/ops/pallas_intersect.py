@@ -32,7 +32,8 @@ TILE_N = 256  # rays per tile
 CHUNK = 512  # triangles per chunk
 
 
-def _closest_kernel(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref):
+def _closest_kernel(mask_ref, R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -40,6 +41,12 @@ def _closest_kernel(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref):
         bt_ref[:] = jnp.full_like(bt_ref, jnp.inf)
         bi_ref[:] = jnp.full_like(bi_ref, -1)
 
+    @pl.when(mask_ref[i, j] != 0)
+    def _():
+        _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref, j)
+
+
+def _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref, j):
     terms = jnp.dot(R_ref[:], T_ref[:], preferred_element_type=jnp.float32)
     det = terms[:, 0 * CHUNK : 1 * CHUNK]
     u_num = terms[:, 1 * CHUNK : 2 * CHUNK]
@@ -70,13 +77,20 @@ def _closest_kernel(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref):
     bi_ref[:] = jnp.where(better, tri, bi_ref[:])
 
 
-def _anyhit_kernel(R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref):
+def _anyhit_kernel(mask_ref, R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         blocked_ref[:] = jnp.zeros_like(blocked_ref)
 
+    @pl.when(mask_ref[i, j] != 0)
+    def _():
+        _anyhit_body(R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref)
+
+
+def _anyhit_body(R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref):
     terms = jnp.dot(R_ref[:], T_ref[:], preferred_element_type=jnp.float32)
     det = terms[:, 0 * CHUNK : 1 * CHUNK]
     u_num = terms[:, 1 * CHUNK : 2 * CHUNK]
@@ -102,27 +116,110 @@ def _anyhit_kernel(R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref):
 
 
 def _coeff_layout(fs):
-    """(num_chunks, 10, 4*CHUNK) chunked coefficient blocks, padded with
-    the last triangle."""
+    """Morton-ordered (num_chunks, 10, 4*CHUNK) coefficient blocks plus
+    per-chunk AABBs (for tile-level culling) and the sorted tri-id map.
+
+    Morton ordering (same machinery as ops/cluster.py / the reference's
+    edge LBVH, src/edge_tree.cpp:166-280) makes chunk AABBs tight so the
+    conservative reach test prunes most (tile, chunk) pairs."""
+    from redner_tpu.ops.cluster import _morton3
+
     sg = jax.lax.stop_gradient
     verts = sg(fs.vertices)
     f = fs.faces
     F = f.shape[0]
+    v0, v1, v2 = verts[f[:, 0]], verts[f[:, 1]], verts[f[:, 2]]
+    centroid = (v0 + v1 + v2) / 3.0
+    lo = jnp.min(jnp.minimum(jnp.minimum(v0, v1), v2), axis=0)
+    hi = jnp.max(jnp.maximum(jnp.maximum(v0, v1), v2), axis=0)
+    extent = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((centroid - lo) / extent * 1024.0, 0.0, 1023.0)
+    order = jnp.argsort(_morton3(q.astype(jnp.int32))).astype(jnp.int32)
+
     nchunks = (F + CHUNK - 1) // CHUNK
     pad = nchunks * CHUNK - F
-    idx = jnp.concatenate(
-        [jnp.arange(F, dtype=jnp.int32),
-         jnp.full((pad,), F - 1, jnp.int32)]
-    )
-    fp = f[idx]
-    T = triangle_coefficients(verts[fp[:, 0]], verts[fp[:, 1]], verts[fp[:, 2]])
+    idx = jnp.concatenate([order, jnp.broadcast_to(order[-1:], (pad,))])
+    sv0, sv1, sv2 = v0[idx], v1[idx], v2[idx]
+    tri_min = jnp.minimum(jnp.minimum(sv0, sv1), sv2).reshape(nchunks, CHUNK, 3)
+    tri_max = jnp.maximum(jnp.maximum(sv0, sv1), sv2).reshape(nchunks, CHUNK, 3)
+    cl_min = jnp.min(tri_min, axis=1)
+    cl_max = jnp.max(tri_max, axis=1)
+
+    T = triangle_coefficients(sv0, sv1, sv2)
     # (F', 10, 4) -> (nchunks, 10, 4*CHUNK) with [det|u|v|t] column groups.
     T = T.reshape(nchunks, CHUNK, 10, 4)
     T = jnp.transpose(T, (0, 2, 3, 1))  # (nchunks, 10, 4, CHUNK)
-    return T.reshape(nchunks, 10, 4 * CHUNK), idx
+    return T.reshape(nchunks, 10, 4 * CHUNK), idx, cl_min, cl_max
 
 
-def _prepare_rays(ray: Ray):
+def _tile_chunk_mask(org, d, tmin, tmax, live, ntile, cl_min, cl_max):
+    """Conservative (ntile, nchunks) activity mask via interval reach.
+
+    Reachable points of a tile's rays lie inside O + [0, T] * D (per-axis
+    interval arithmetic over the tile's origin box O and direction box D);
+    a chunk whose AABB misses that box on any axis can be skipped.  Always
+    a superset of the true hit set — pure optimization, never drops hits.
+    """
+    n = org.shape[0]
+    o_t = org.reshape(ntile, TILE_N, 3)
+    d_t = d.reshape(ntile, TILE_N, 3)
+    live_t = live.reshape(ntile, TILE_N, 1)
+    big = jnp.float32(3e38)
+    o_lo = jnp.min(jnp.where(live_t, o_t, big), axis=1)  # (ntile, 3)
+    o_hi = jnp.max(jnp.where(live_t, o_t, -big), axis=1)
+    d_lo = jnp.min(jnp.where(live_t, d_t, big), axis=1)
+    d_hi = jnp.max(jnp.where(live_t, d_t, -big), axis=1)
+    any_live = jnp.any(live_t[:, :, 0], axis=1)
+
+    # Ray-length bound: distance from the tile origin box to the scene
+    # bounds' far side (rays cannot hit geometry beyond it), capped by the
+    # largest finite tmax in the tile.
+    scene_lo = jnp.min(cl_min, axis=0)
+    scene_hi = jnp.max(cl_max, axis=0)
+    far = jnp.maximum(jnp.abs(scene_hi - o_lo), jnp.abs(scene_lo - o_hi))
+    # 2x margin covers mildly non-normalized directions (|dir| >= 0.5).
+    T_geo = 2.0 * jnp.linalg.norm(far, axis=-1)  # (ntile,)
+    tmax_t = tmax.reshape(ntile, TILE_N)
+    tmax_finite = jnp.where(jnp.isfinite(tmax_t), tmax_t, 0.0)
+    has_inf = jnp.any(~jnp.isfinite(tmax_t) & live_t[:, :, 0], axis=1)
+    T_lim = jnp.where(has_inf, T_geo, jnp.max(tmax_finite, axis=1))
+    T_lim = jnp.maximum(T_lim, 0.0)[:, None]
+
+    # [0, T] * [d_lo, d_hi] per axis.
+    r_lo = o_lo + jnp.minimum(0.0, T_lim * d_lo)
+    r_hi = o_hi + jnp.maximum(0.0, T_lim * d_hi)
+
+    overlap = jnp.all(
+        (r_hi[:, None, :] >= cl_min[None, :, :])
+        & (r_lo[:, None, :] <= cl_max[None, :, :]),
+        axis=-1,
+    )  # (ntile, nchunks)
+    return (overlap & any_live[:, None]).astype(jnp.int32)
+
+
+def _coherence_order(org, d, live):
+    """Sort key packing origin Morton (6 bits/axis) over direction Morton
+    (4 bits/axis): rays land in spatially tight tiles so the tile-chunk
+    culling mask actually prunes.  Row-major pixel order would make every
+    256-ray tile a full image row (maximal direction spread); generic ray
+    sorting fixes primary, shadow, and bounce rays alike (the reference
+    gets coherence implicitly from its BVH traversal order)."""
+    from redner_tpu.ops.cluster import _morton3
+
+    o_lo = jnp.min(jnp.where(live[:, None], org, 3e38), axis=0)
+    o_hi = jnp.max(jnp.where(live[:, None], org, -3e38), axis=0)
+    extent = jnp.maximum(o_hi - o_lo, 1e-12)
+    oq = jnp.clip((org - o_lo) / extent * 63.0, 0.0, 63.0).astype(jnp.int32)
+    org_m = _morton3(oq)  # 18 bits
+    dq = jnp.clip((d * 0.5 + 0.5) * 15.0, 0.0, 15.0).astype(jnp.int32)
+    dir_m = _morton3(dq)  # 12 bits
+    key = (org_m << jnp.uint32(12)) | dir_m
+    # Dead rays sort to the back so whole tiles can go inactive.
+    key = jnp.where(live, key, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(key).astype(jnp.int32)
+
+
+def _prepare_rays(ray: Ray, sort_rays: bool):
     # Intersection is non-differentiable by contract (ids + stop-grad t);
     # cut tangents BEFORE pallas_call — its jvp rule must never trigger.
     sg = jax.lax.stop_gradient
@@ -130,6 +227,15 @@ def _prepare_rays(ray: Ray):
     d = sg(ray.dir).reshape(-1, 3)
     tmin = sg(ray.tmin).reshape(-1)
     tmax = sg(ray.tmax).reshape(-1)
+    if sort_rays:
+        live0 = jnp.sum(d * d, axis=-1) > 0
+        perm = _coherence_order(org, d, live0)
+        org = org[perm]
+        d = d[perm]
+        tmin = tmin[perm]
+        tmax = tmax[perm]
+    else:
+        perm = None
     n = org.shape[0]
     live = jnp.sum(d * d, axis=-1) > 0
     ntile = (n + TILE_N - 1) // TILE_N
@@ -142,30 +248,35 @@ def _prepare_rays(ray: Ray):
             [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
         )
 
-    R = ray_features(padv(org, 0.0), padv(d, 0.0))  # (N', 10)
+    org_p = padv(org, 0.0)
+    d_p = padv(d, 0.0)
+    live_p = padv(live, False)
+    R = ray_features(org_p, d_p)  # (N', 10)
     tmin_p = padv(tmin, 0.0)[:, None]
     tmax_p = padv(tmax, -1.0)[:, None]  # padded rays hit nothing
-    return R, tmin_p, tmax_p, n, ntile, live
+    return R, tmin_p, tmax_p, n, ntile, live, (org_p, d_p, live_p), perm
 
 
-def _grid_specs(ntile, nchunks):
-    return dict(
+def _grid_spec(ntile, nchunks, out_specs):
+    """Scalar-prefetch grid: arg 0 is the whole (ntile, nchunks) activity
+    mask in SMEM, indexed by program ids inside the kernel."""
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(ntile, nchunks),
         in_specs=[
-            pl.BlockSpec((TILE_N, 10), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 10, 4 * CHUNK), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 10), lambda i, j, mask: (i, 0)),
+            pl.BlockSpec((1, 10, 4 * CHUNK), lambda i, j, mask: (j, 0, 0)),
+            pl.BlockSpec((TILE_N, 1), lambda i, j, mask: (i, 0)),
+            pl.BlockSpec((TILE_N, 1), lambda i, j, mask: (i, 0)),
         ],
+        out_specs=out_specs,
     )
 
 
-def _closest_kernel_wrap(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref):
-    _closest_kernel(R_ref, _Squeeze(T_ref), tmin_ref, tmax_ref, bt_ref, bi_ref)
+def _closest_kernel_wrap(mask_ref, R_ref, T_ref, tmin_ref, tmax_ref,
+                         bt_ref, bi_ref):
+    _closest_kernel(mask_ref, R_ref, _Squeeze(T_ref), tmin_ref, tmax_ref,
+                    bt_ref, bi_ref)
 
 
 class _Squeeze:
@@ -181,10 +292,14 @@ class _Squeeze:
 
 
 def intersect_pallas(fs, ray: Ray, interpret: bool = False) -> Intersection:
-    """Closest hit via the fused Pallas kernel."""
-    Tc, idx_map = _coeff_layout(fs)
+    """Closest hit via the fused Pallas kernel with tile-chunk culling."""
+    Tc, idx_map, cl_min, cl_max = _coeff_layout(fs)
     nchunks = Tc.shape[0]
-    R, tmin_p, tmax_p, n, ntile, live = _prepare_rays(ray)
+    (R, tmin_p, tmax_p, n, ntile, live, (org_p, d_p, live_p),
+     perm) = _prepare_rays(ray, sort_rays=nchunks > 8)
+    mask = _tile_chunk_mask(
+        org_p, d_p, tmin_p[:, 0], tmax_p[:, 0], live_p, ntile, cl_min, cl_max
+    )
 
     best_t, best_i = pl.pallas_call(
         _closest_kernel_wrap,
@@ -192,15 +307,15 @@ def intersect_pallas(fs, ray: Ray, interpret: bool = False) -> Intersection:
             jax.ShapeDtypeStruct((ntile * TILE_N, 1), jnp.float32),
             jax.ShapeDtypeStruct((ntile * TILE_N, 1), jnp.int32),
         ),
-        out_specs=(
-            pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
+        grid_spec=_grid_spec(
+            ntile, nchunks,
+            (
+                pl.BlockSpec((TILE_N, 1), lambda i, j, mask: (i, 0)),
+                pl.BlockSpec((TILE_N, 1), lambda i, j, mask: (i, 0)),
+            ),
         ),
         interpret=interpret,
-        **_grid_specs(ntile, nchunks),
-    )(R, Tc, tmin_p, tmax_p)
+    )(mask, R, Tc, tmin_p, tmax_p)
 
     best_t = best_t[:n, 0]
     best_i = best_i[:n, 0]
@@ -210,32 +325,50 @@ def intersect_pallas(fs, ray: Ray, interpret: bool = False) -> Intersection:
         found, idx_map[jnp.clip(best_i, 0, idx_map.shape[0] - 1)], -1
     )
     shape_id = jnp.where(found, fs.face_shape_id[jnp.clip(tri, 0, F - 1)], -1)
+    t_out = jnp.where(found, best_t, jnp.inf)
+    if perm is not None:
+        # Undo the coherence sort: results are in sorted-ray order.
+        tri_o = jnp.full((n,), -1, jnp.int32).at[perm].set(tri)
+        shape_o = jnp.full((n,), -1, jnp.int32).at[perm].set(shape_id)
+        t_o = jnp.full((n,), jnp.inf, best_t.dtype).at[perm].set(t_out)
+    else:
+        tri_o, shape_o, t_o = tri, shape_id, t_out
     sg = jax.lax.stop_gradient
     batch = ray.org.shape[:-1]
     return Intersection(
-        tri_id=sg(tri).reshape(batch),
-        shape_id=sg(shape_id).reshape(batch),
-        t=sg(jnp.where(found, best_t, jnp.inf)).reshape(batch),
+        tri_id=sg(tri_o).reshape(batch),
+        shape_id=sg(shape_o).reshape(batch),
+        t=sg(t_o).reshape(batch),
     )
 
 
-def _anyhit_kernel_wrap(R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref):
-    _anyhit_kernel(R_ref, _Squeeze(T_ref), tmin_ref, tmax_ref, blocked_ref)
+def _anyhit_kernel_wrap(mask_ref, R_ref, T_ref, tmin_ref, tmax_ref,
+                        blocked_ref):
+    _anyhit_kernel(mask_ref, R_ref, _Squeeze(T_ref), tmin_ref, tmax_ref,
+                   blocked_ref)
 
 
 def occluded_pallas(fs, ray: Ray, interpret: bool = False) -> jnp.ndarray:
-    Tc, _ = _coeff_layout(fs)
+    Tc, _, cl_min, cl_max = _coeff_layout(fs)
     nchunks = Tc.shape[0]
-    R, tmin_p, tmax_p, n, ntile, live = _prepare_rays(ray)
+    (R, tmin_p, tmax_p, n, ntile, live, (org_p, d_p, live_p),
+     perm) = _prepare_rays(ray, sort_rays=nchunks > 8)
+    mask = _tile_chunk_mask(
+        org_p, d_p, tmin_p[:, 0], tmax_p[:, 0], live_p, ntile, cl_min, cl_max
+    )
 
     blocked = pl.pallas_call(
         _anyhit_kernel_wrap,
         out_shape=jax.ShapeDtypeStruct((ntile * TILE_N, 1), jnp.int32),
-        out_specs=pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=_grid_spec(
+            ntile, nchunks,
+            pl.BlockSpec((TILE_N, 1), lambda i, j, mask: (i, 0)),
+        ),
         interpret=interpret,
-        **_grid_specs(ntile, nchunks),
-    )(R, Tc, tmin_p, tmax_p)
-    return jax.lax.stop_gradient(
-        (blocked[:n, 0] > 0) & live
-    ).reshape(ray.org.shape[:-1])
+    )(mask, R, Tc, tmin_p, tmax_p)
+    blocked_sorted = (blocked[:n, 0] > 0) & live
+    if perm is not None:
+        blocked_o = jnp.zeros((n,), bool).at[perm].set(blocked_sorted)
+    else:
+        blocked_o = blocked_sorted
+    return jax.lax.stop_gradient(blocked_o).reshape(ray.org.shape[:-1])

@@ -439,6 +439,7 @@ def trace_radiance(
     dim_start: int = sampler_mod.CAMERA_DIMS,
     include_primary_emission: bool = True,
     camera_ray: bool = True,
+    primary_isect: Optional[Intersection] = None,
 ):
     """Full-path radiance estimate for arbitrary primary rays -> (n, 3).
 
@@ -453,7 +454,9 @@ def trace_radiance(
     dtype = ray.org.dtype
     radiance = jnp.zeros((n, 3), dtype)
 
-    isect = accel.intersect(fs, ray)
+    # Pallas custom-calls are not reliably CSE'd; callers that already
+    # intersected the primary ray pass the hit in to avoid a second sweep.
+    isect = accel.intersect(fs, ray) if primary_isect is None else primary_isect
     sp, ray_diff = _surface_point_at(fs, isect, ray, ray_diff)
     mid = fs.face_material_id[jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)]
     lm = fetch_local_material(fs, sp, mid)
@@ -580,11 +583,9 @@ def render_sample(
         skip_radiance=want_radiance,
     )
     if want_radiance:
-        # The radiance estimate re-derives the primary hit internally; XLA
-        # CSE merges the duplicate intersect with the AOV pass above.
         radiance = trace_radiance(
             fs, options, seed, pixel_ids, sample_id, ray, ray_diff,
-            dim_start=dim.dim,
+            dim_start=dim.dim, primary_isect=isect,
         )
         roff = ci.radiance_dimension
         img = img.at[:, roff : roff + 3].add(radiance)

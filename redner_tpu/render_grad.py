@@ -72,7 +72,15 @@ def _secondary_surrogate_all_samples(scene, options, seed, d_radiance_flat):
     from redner_tpu import accel
     from redner_tpu.render import _sample_light_point, _surface_point_at
 
+    from redner_tpu.material import bsdf_sample
+    from redner_tpu.render import _scatter_contribution
+    from redner_tpu.core.types import Ray
+
     def one_sample(total, sample_id):
+        # Replay this sample's camera path (same RNG as the forward) and
+        # emit a secondary-edge surrogate at EVERY bounce, weighted by the
+        # path throughput — the reference samples secondary edges per
+        # depth in its backward bounce loop (src/pathtracer.cpp:431-707).
         if options.sample_pixel_center:
             jitter = jnp.full((n, 2), 0.5, dtype)
         else:
@@ -81,32 +89,81 @@ def _secondary_surrogate_all_samples(scene, options, seed, d_radiance_flat):
             )
         ray, ray_diff = sample_primary_rays(camera, jitter)
         isect = accel.intersect(fs, ray)
-        sp, _ = _surface_point_at(fs, isect, ray, ray_diff)
+        sp, ray_diff = _surface_point_at(fs, isect, ray, ray_diff)
         mid = fs.face_material_id[
             jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)
         ]
         lm = fetch_local_material(fs, sp, mid)
-        wi = -ray.dir
+        active = isect.valid
+        throughput = jnp.ones((n, 3), dtype)
         min_rough = jnp.zeros((n,), dtype)
+        incoming_ray = ray
+        incoming_diff = ray_diff
+        dim = sampler_mod.DimAllocator()
+        dim.next(sampler_mod.CAMERA_DIMS)
 
-        def bsdf_eval(wo, lm=lm, sp=sp, wi=wi, min_rough=min_rough):
-            return bsdf(lm, sp, wi, wo, min_rough)
+        for bounce in range(options.max_bounces):
+            light_dim = dim.next(sampler_mod.LIGHT_DIMS)
+            bsdf_dim = dim.next(sampler_mod.BSDF_DIMS)
+            wi = -incoming_ray.dir
 
-        # Replay the NEE light-sample direction of this sample to steer
-        # the edge importance kernels (reference edge-NEE strategy).
-        nee_dir = None
-        if fs.num_lights > 0:
-            light_u = sampler_mod.draw(
-                options.sampler_type, seed, pixel_ids, sample_id, 2, 4
+            nee_dir = None
+            if fs.num_lights > 0:
+                light_u = sampler_mod.draw(
+                    options.sampler_type, seed, pixel_ids, sample_id,
+                    light_dim, 4,
+                )
+                ls = _sample_light_point(fs, sp.position, light_u)
+                nee_dir = ls["shadow_ray"].dir
+
+            def bsdf_eval(wo, lm=lm, sp=sp, wi=wi, min_rough=min_rough):
+                return bsdf(lm, sp, wi, wo, min_rough)
+
+            d_pix = jax.lax.stop_gradient(throughput) * d_radiance_flat
+            total = total + secondary_edge_surrogate(
+                fs, options, seed, sample_id,
+                sp.position, wi, bsdf_eval, trace_radiance,
+                d_pix, active, nee_dir=nee_dir,
+                dim_base=100 + 32 * bounce,
             )
-            ls = _sample_light_point(fs, sp.position, light_u)
-            nee_dir = ls["shadow_ray"].dir
+            if bounce + 1 >= options.max_bounces:
+                break
 
-        total = total + secondary_edge_surrogate(
-            fs, options, seed, sample_id,
-            sp.position, wi, bsdf_eval, trace_radiance,
-            d_radiance_flat, isect.valid, nee_dir=nee_dir,
-        )
+            # Advance the path exactly like the forward tracer.
+            bsdf_u = sampler_mod.draw(
+                options.sampler_type, seed, pixel_ids, sample_id, bsdf_dim, 3
+            )
+            wo, wo_diff, next_min_rough = bsdf_sample(
+                lm, sp, wi, bsdf_u[:, 0], bsdf_u[:, 1:3], min_rough,
+                incoming_diff,
+            )
+            bsdf_ray = Ray(
+                org=sp.position,
+                dir=jnp.where(active[..., None], wo, 0.0),
+                tmin=jnp.full((n,), 1e-3, dtype),
+                tmax=jnp.full((n,), jnp.inf, dtype),
+            )
+            bsdf_isect = accel.intersect(fs, bsdf_ray)
+            bsdf_sp, bsdf_diff = _surface_point_at(
+                fs, bsdf_isect, bsdf_ray, wo_diff
+            )
+            _, scatter_bsdf = _scatter_contribution(
+                fs, lm, sp, wi, min_rough, bsdf_ray, bsdf_isect, bsdf_sp
+            )
+            throughput = jnp.where(
+                active[..., None], throughput * scatter_bsdf, 0.0
+            )
+            active = active & bsdf_isect.valid & (
+                jnp.max(jnp.abs(throughput), axis=-1) > 0
+            )
+            sp = bsdf_sp
+            incoming_ray = bsdf_ray
+            incoming_diff = bsdf_diff
+            min_rough = next_min_rough
+            mid = fs.face_material_id[
+                jnp.clip(bsdf_isect.tri_id, 0, fs.num_triangles - 1)
+            ]
+            lm = fetch_local_material(fs, sp, mid)
         return total, None
 
     total, _ = jax.lax.scan(

@@ -182,6 +182,66 @@ def _bilinear_fetch(ptex: PackedTexture, level_idx, uv):
     )
 
 
+# Tables up to this many texels use the one-hot-matmul fetch: on TPU a
+# dense (lanes, texels) matmul on the MXU beats per-lane dynamic gathers,
+# and its transpose IS the texel-gradient scatter (also a matmul).
+MATMUL_FETCH_MAX_TEXELS = 4096
+
+
+def _bilinear_weights(ptex: PackedTexture, level_idx, uv):
+    """Flat indices + weights of the 4 bilinear taps at integer level."""
+    widths = jnp.asarray(ptex.widths, jnp.int32)[level_idx]
+    heights = jnp.asarray(ptex.heights, jnp.int32)[level_idx]
+    offsets = jnp.asarray(ptex.offsets, jnp.int32)[level_idx]
+    wf = widths.astype(uv.dtype)
+    hf = heights.astype(uv.dtype)
+    x = uv[..., 0] * wf - 0.5
+    y = uv[..., 1] * hf - 0.5
+    xf = jnp.floor(x)
+    yf = jnp.floor(y)
+    u = x - xf
+    v = y - yf
+    xf = xf.astype(jnp.int32)
+    yf = yf.astype(jnp.int32)
+    xfi = jnp.mod(xf, widths)
+    yfi = jnp.mod(yf, heights)
+    xci = jnp.mod(xf + 1, widths)
+    yci = jnp.mod(yf + 1, heights)
+    idx = jnp.stack(
+        [
+            offsets + yfi * widths + xfi,
+            offsets + yci * widths + xfi,
+            offsets + yfi * widths + xci,
+            offsets + yci * widths + xci,
+        ],
+        axis=-1,
+    )  # (..., 4)
+    w = jnp.stack(
+        [(1 - u) * (1 - v), (1 - u) * v, u * (1 - v), u * v], axis=-1
+    )
+    return idx, w
+
+
+def _matmul_fetch(ptex: PackedTexture, li, ld, uv):
+    """All 8 trilinear taps as ONE (lanes, texels) @ (texels, C) matmul.
+
+    The weight matrix accumulates 8 one-hot compare-multiply passes (pure
+    VPU, fused by XLA); the fetch itself — and, under AD, the texel
+    gradient scatter (its transpose) — runs on the MXU."""
+    T = ptex.flat.shape[0]
+    idx0, w0 = _bilinear_weights(ptex, li, uv)
+    idx1, w1 = _bilinear_weights(ptex, jnp.minimum(li + 1, ptex.num_levels - 1), uv)
+    idx = jnp.concatenate([idx0, idx1], axis=-1)  # (..., 8)
+    w = jnp.concatenate([w0 * (1 - ld), w1 * ld], axis=-1)
+    texel_ids = jnp.arange(T, dtype=jnp.int32)
+    W = jnp.zeros(uv.shape[:-1] + (T,), uv.dtype)
+    for k in range(8):
+        W = W + w[..., k : k + 1] * (
+            idx[..., k : k + 1] == texel_ids
+        ).astype(uv.dtype)
+    return jnp.dot(W, ptex.flat, preferred_element_type=uv.dtype)
+
+
 def texture_eval(ptex: PackedTexture, uv, du_dxy, dv_dxy):
     """Trilinear texture fetch (src/texture.h:326-354 semantics).
 
@@ -207,6 +267,8 @@ def texture_eval(ptex: PackedTexture, uv, du_dxy, dv_dxy):
     level = jnp.clip(level, 0.0, nl - 1 - 1e-6)
     li = jnp.floor(level).astype(jnp.int32)
     ld = (level - li.astype(level.dtype))[..., None]
+    if ptex.flat.shape[0] <= MATMUL_FETCH_MAX_TEXELS:
+        return _matmul_fetch(ptex, li, ld, uv)
     val0 = _bilinear_fetch(ptex, li, uv)
     val1 = _bilinear_fetch(ptex, li + 1, uv)
     return val0 * (1 - ld) + val1 * ld

@@ -123,3 +123,26 @@ def test_camera_look_at_gradient_matches_fd():
     eps = 1e-3
     fd = (loss(eps) - loss(-eps)) / (2 * eps)
     assert jnp.allclose(g, fd, rtol=0.3, atol=1e-3), (float(g), float(fd))
+
+
+def test_triangle_partially_behind_camera():
+    """Rays-based forward needs no clipping: geometry behind the camera
+    simply isn't hit (reference test_single_triangle_clipped analog)."""
+    scene = single_triangle_scene(res=(8, 8))
+    tri = scene.shapes[0]
+    # Stretch one vertex far behind the camera plane.
+    v = tri.vertices.at[0].set(jnp.asarray([-1.7, 1.0, -10.0]))
+    s = scene.replace(shapes=(tri.replace(vertices=v),) + scene.shapes[1:])
+    img = rt.render_image(
+        s, rt.RenderOptions(num_samples=2, max_bounces=1), seed=0
+    )
+    assert bool(jnp.all(jnp.isfinite(img)))
+    g = jax.grad(
+        lambda vv: jnp.sum(
+            rt.render_image(
+                s.replace(shapes=(tri.replace(vertices=vv),) + s.shapes[1:]),
+                rt.RenderOptions(num_samples=2, max_bounces=1), seed=0,
+            )
+        )
+    )(v)
+    assert bool(jnp.all(jnp.isfinite(g)))

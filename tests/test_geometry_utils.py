@@ -1,0 +1,89 @@
+"""Mesh utility correctness: vertex normals, smoothing, bounds
+(reference tests/test_compute_vertex_normals.py, pyredner/shape.py utils)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import redner_tpu as rt
+from redner_tpu.geometry import bound_vertices, compute_vertex_normal, smooth
+
+
+def test_vertex_normals_flat_quad():
+    # 'max' on an open flat mesh gives the face normal.  (The cotangent
+    # scheme is a mean-curvature normal — degenerate on open flat meshes,
+    # where boundary rings aren't closed; tested on the sphere below.)
+    v = jnp.asarray([[0., 0., 0.], [1., 0., 0.], [0., 1., 0.], [1., 1., 0.]])
+    f = jnp.asarray([[0, 1, 2], [1, 3, 2]], jnp.int32)
+    n = compute_vertex_normal(v, f, "max")
+    np.testing.assert_allclose(
+        np.asarray(n), np.tile([0., 0., 1.], (4, 1)), atol=1e-5
+    )
+
+
+def test_vertex_normals_cotangent_sphere():
+    v, f, uvs, _ = rt.generate_sphere(12, 24)
+    n = compute_vertex_normal(v, f, "cotangent")
+    radial = np.asarray(v) / np.linalg.norm(np.asarray(v), axis=-1, keepdims=True)
+    cos = np.abs(np.sum(np.asarray(n) * radial, axis=-1))
+    interior = np.abs(np.asarray(v)[:, 1]) < 0.9
+    assert (cos[interior] > 0.9).mean() > 0.9
+
+
+def test_vertex_normals_sphere_radial():
+    v, f, uvs, _ = rt.generate_sphere(12, 24)
+    n = compute_vertex_normal(v, f, "max")
+    # Away from the poles, computed normals align with the radial direction.
+    radial = np.asarray(v) / np.linalg.norm(np.asarray(v), axis=-1, keepdims=True)
+    cos = np.sum(np.asarray(n) * radial, axis=-1)
+    interior = np.abs(np.asarray(v)[:, 1]) < 0.9
+    assert (cos[interior] > 0.95).mean() > 0.95
+
+
+def test_vertex_normals_degenerate_safe():
+    v = jnp.asarray([[0., 0., 0.], [0., 0., 0.], [1., 0., 0.]])
+    f = jnp.asarray([[0, 1, 2]], jnp.int32)
+    n = compute_vertex_normal(v, f, "max")
+    assert bool(jnp.all(jnp.isfinite(n)))
+
+
+def test_smooth_shrinks_bump():
+    v, f, uvs, _ = rt.generate_sphere(8, 16)
+    bumped = v.at[40].multiply(1.5)
+    sm = smooth(bumped, f, lmd=0.5)
+    r_before = float(jnp.linalg.norm(bumped[40]))
+    r_after = float(jnp.linalg.norm(sm[40]))
+    assert r_after < r_before
+
+
+def test_bound_vertices():
+    v = jnp.asarray([[1., 0., 0.], [-1., 0., 0.], [0., 2., 0.]])
+    center, radius = bound_vertices(v)
+    assert bool(jnp.all(jnp.isfinite(center)))
+    d = jnp.linalg.norm(v - center, axis=-1)
+    assert float(d.max()) <= float(radius) + 1e-5
+
+
+def test_weld_then_edges_shared():
+    """Welding enables silhouette detection across duplicated borders
+    (reference rebuild_topology purpose)."""
+    from redner_tpu.edge import build_edges
+    from redner_tpu.scene import flatten_scene
+
+    # Two triangles with duplicated shared-edge vertices.
+    v = np.asarray(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+        np.float32,
+    )
+    f = np.asarray([[0, 1, 2], [3, 4, 5]], np.int32)
+    wv, wf, _ = rt.weld_mesh(v, f)
+    cam = rt.make_camera(position=[0, 0, -3], look_at=[0, 0, 0], up=[0, 1, 0],
+                         fov=45., resolution=(4, 4))
+    mat = rt.make_material(diffuse_reflectance=[0.5, 0.5, 0.5])
+    scene = rt.make_scene(cam, [rt.make_shape(vertices=wv, indices=wf)], [mat])
+    fs = flatten_scene(scene)
+    edges = build_edges(fs)
+    # Welded: 5 unique edges, one of which is interior (f1 >= 0).
+    valid = np.asarray(edges.valid)
+    f1 = np.asarray(edges.f1)
+    assert valid.sum() == 5
+    assert ((f1 >= 0) & valid).sum() == 1
