@@ -176,10 +176,15 @@ def primary_edge_gradients(
     seed,
     d_radiance,
     num_edge_samples: int,
+    d_alpha=None,
 ):
     """Gradient contribution of primary (screen-space) silhouette edges.
 
     d_radiance: (vh, vw, 3) adjoint of the radiance channel.
+    d_alpha: optional (vh, vw) adjoint of the alpha channel — silhouette
+    motion flips coverage, so alpha gets an edge term too (the reference
+    weights edge contributions by every channel's multiplier,
+    src/primary_contribution.cpp:31,131-133).
     Returns a cotangent pytree matching `scene`.
 
     Estimator (per edge sample at screen point x with screen normal n_hat):
@@ -252,12 +257,15 @@ def primary_edge_gradients(
     both_dir = jnp.concatenate([ray_p.dir, ray_m.dir])
     both = Ray.make(both_org, both_dir)
     lane_ids = jnp.concatenate([eids, eids + N])
-    f_both = trace_fn(
+    f_both, valid_both = trace_fn(
         fs, options, edge_seed, lane_ids, 0, both,
         RayDifferential.zero((2 * N,), dtype),
+        return_primary_valid=True,
     )
     f_plus = sg(f_both[:N])
     f_minus = sg(f_both[N:])
+    a_plus = sg(valid_both[:N]).astype(dtype)
+    a_minus = sg(valid_both[N:]).astype(dtype)
 
     # --- adjoint pixel lookup ---
     px = jnp.clip(xs[:, 0].astype(jnp.int32) - left, 0, right - left - 1)
@@ -269,7 +277,10 @@ def primary_edge_gradients(
     )
 
     pdf = sg(pmf[sel] / jnp.maximum(seg_len[sel], 1e-20))  # per unit length
-    w = jnp.sum((f_minus - f_plus) * d_pix, axis=-1) / jnp.maximum(pdf, 1e-20)
+    w = jnp.sum((f_minus - f_plus) * d_pix, axis=-1)
+    if d_alpha is not None:
+        w = w + (a_minus - a_plus) * sg(d_alpha)[py, px]
+    w = w / jnp.maximum(pdf, 1e-20)
     w = jnp.where(inside & (pdf > 0) & sg(any_edges), w, 0.0) / N
     w = sg(w)
 

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 from redner_tpu.core.types import Intersection, Ray
 from redner_tpu.ops.intersect import ray_features, triangle_coefficients
 
-TILE_N = 256  # rays per tile
+TILE_N = 512  # rays per tile
 CHUNK = 512  # triangles per chunk
 
 

@@ -440,6 +440,7 @@ def trace_radiance(
     include_primary_emission: bool = True,
     camera_ray: bool = True,
     primary_isect: Optional[Intersection] = None,
+    return_primary_valid: bool = False,
 ):
     """Full-path radiance estimate for arbitrary primary rays -> (n, 3).
 
@@ -457,6 +458,7 @@ def trace_radiance(
     # Pallas custom-calls are not reliably CSE'd; callers that already
     # intersected the primary ray pass the hit in to avoid a second sweep.
     isect = accel.intersect(fs, ray) if primary_isect is None else primary_isect
+    primary_valid = isect.valid
     sp, ray_diff = _surface_point_at(fs, isect, ray, ray_diff)
     mid = fs.face_material_id[jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)]
     lm = fetch_local_material(fs, sp, mid)
@@ -485,16 +487,6 @@ def trace_radiance(
         bsdf_dim = dim.next(sampler_mod.BSDF_DIMS)
         wi = -incoming_ray.dir
 
-        if fs.num_lights > 0:
-            light_u = sampler_mod.draw(
-                options.sampler_type, seed, lane_ids, sample_id, light_dim, 4
-            )
-            ls = _sample_light_point(fs, sp.position, light_u)
-            blocked = accel.occluded(fs, ls["shadow_ray"])
-            nee = _nee_contribution(fs, lm, sp, wi, min_rough, ls, blocked)
-        else:
-            nee = jnp.zeros((n, 3), dtype)
-
         bsdf_u = sampler_mod.draw(
             options.sampler_type, seed, lane_ids, sample_id, bsdf_dim, 3
         )
@@ -507,7 +499,33 @@ def trace_radiance(
             tmin=jnp.full((n,), 1e-3, dtype),
             tmax=jnp.full((n,), jnp.inf, dtype),
         )
-        bsdf_isect = accel.intersect(fs, bsdf_ray)
+
+        if fs.num_lights > 0:
+            light_u = sampler_mod.draw(
+                options.sampler_type, seed, lane_ids, sample_id, light_dim, 4
+            )
+            ls = _sample_light_point(fs, sp.position, light_u)
+            # Batch the shadow and continuation rays through ONE sweep:
+            # halves the per-call kernel overhead vs occluded + intersect
+            # (a closest hit within (tmin, tmax) implies occlusion).
+            sray = ls["shadow_ray"]
+            both = Ray(
+                org=jnp.concatenate([sray.org, bsdf_ray.org]),
+                dir=jnp.concatenate([sray.dir, bsdf_ray.dir]),
+                tmin=jnp.concatenate([sray.tmin, bsdf_ray.tmin]),
+                tmax=jnp.concatenate([sray.tmax, bsdf_ray.tmax]),
+            )
+            both_isect = accel.intersect(fs, both)
+            blocked = both_isect.valid[:n]
+            bsdf_isect = Intersection(
+                tri_id=both_isect.tri_id[n:],
+                shape_id=both_isect.shape_id[n:],
+                t=both_isect.t[n:],
+            )
+            nee = _nee_contribution(fs, lm, sp, wi, min_rough, ls, blocked)
+        else:
+            nee = jnp.zeros((n, 3), dtype)
+            bsdf_isect = accel.intersect(fs, bsdf_ray)
         bsdf_sp, bsdf_diff = _surface_point_at(fs, bsdf_isect, bsdf_ray, wo_diff)
 
         scatter, scatter_bsdf = _scatter_contribution(
@@ -531,6 +549,8 @@ def trace_radiance(
             jnp.clip(bsdf_isect.tri_id, 0, fs.num_triangles - 1)
         ]
         lm = fetch_local_material(fs, sp, mid)
+    if return_primary_valid:
+        return radiance, primary_valid
     return radiance
 
 
@@ -594,6 +614,26 @@ def render_sample(
 
 def render_image(scene: Scene, options: RenderOptions, seed=0,
                  pixel_sharding=None) -> jnp.ndarray:
+    """Differentiable forward render -> (vh, vw, C) image (jit-cached).
+
+    Calls outside a jit context route through an internal jit cache keyed
+    on the (static, hashable) options + scene structure, so repeated eager
+    calls don't retrace; inside jit the wrapper inlines."""
+    if pixel_sharding is None:
+        return _render_image_jitted(scene, options, jnp.asarray(seed, jnp.uint32))
+    return _render_image_impl(scene, options, seed, pixel_sharding)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("options",))
+def _render_image_jitted(scene, options, seed):
+    return _render_image_impl(scene, options, seed, None)
+
+
+def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
+                       pixel_sharding=None) -> jnp.ndarray:
     """Differentiable forward render -> (vh, vw, C) image.
 
     Continuous gradients flow through JAX AD; visibility gradients are added

@@ -195,14 +195,23 @@ def make_render(options: RenderOptions):
         )
         (d_scene,) = vjp_fn(ct_img)
 
+        from redner_tpu.channels import Channels
+
         ci = options.channel_info
         roff = ci.radiance_dimension
-        needs_edges = roff >= 0 and (
+        has_alpha = Channels.alpha in ci.channels
+        needs_edges = (roff >= 0 or has_alpha) and (
             options.use_primary_edge_sampling
             or options.use_secondary_edge_sampling
         )
         if needs_edges:
-            d_radiance = ct_img[..., roff : roff + 3]
+            if roff >= 0:
+                d_radiance = ct_img[..., roff : roff + 3]
+            else:
+                d_radiance = jnp.zeros(ct_img.shape[:2] + (3,), ct_img.dtype)
+            d_alpha = (
+                ct_img[..., ci.offset_of(Channels.alpha)] if has_alpha else None
+            )
             top, left, bottom, right = scene.camera.viewport_or_full
             n_pix = (right - left) * (bottom - top)
             num_edge_samples = options.num_edge_samples or (
@@ -215,8 +224,9 @@ def make_render(options: RenderOptions):
                     out = out + primary_edge_gradients(
                         s, flatten_scene, trace_radiance, options,
                         seed_b, d_radiance, num_edge_samples,
+                        d_alpha=d_alpha,
                     )
-                if options.use_secondary_edge_sampling:
+                if options.use_secondary_edge_sampling and roff >= 0:
                     d_flat = d_radiance.reshape(-1, 3)
                     out = out + _secondary_surrogate_all_samples(
                         s, options, seed_b, d_flat
@@ -246,11 +256,12 @@ def render(scene, options: RenderOptions, seed=0):
     """Differentiable render with edge-sampled visibility gradients.
 
     The pyredner-equivalent entry point (RenderFunction.apply).  `options`
-    is static; compiled renderers are cached per options value.
+    is static; compiled renderers are cached per options value and the
+    call is jitted (eager call sites reuse the compiled executable).
     """
     key = options
     fn = _render_cache.get(key)
     if fn is None:
-        fn = make_render(options)
+        fn = jax.jit(make_render(options))
         _render_cache[key] = fn
     return fn(scene, jnp.asarray(seed, jnp.uint32))

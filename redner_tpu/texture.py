@@ -160,10 +160,13 @@ def _bilinear_fetch(ptex: PackedTexture, level_idx, uv):
     v = y - yf
     xf = xf.astype(jnp.int32)
     yf = yf.astype(jnp.int32)
-    xfi = jnp.mod(xf, widths)
-    yfi = jnp.mod(yf, heights)
-    xci = jnp.mod(xf + 1, widths)
-    yci = jnp.mod(yf + 1, heights)
+    pow2 = all(
+        w > 0 and (w & (w - 1)) == 0 for w in ptex.widths
+    ) and all(h > 0 and (h & (h - 1)) == 0 for h in ptex.heights)
+    xfi = _wrap_mod(xf, widths, pow2)
+    yfi = _wrap_mod(yf, heights, pow2)
+    xci = _wrap_mod(xf + 1, widths, pow2)
+    yci = _wrap_mod(yf + 1, heights, pow2)
     idx_ff = offsets + yfi * widths + xfi
     idx_cf = offsets + yfi * widths + xci
     idx_fc = offsets + yci * widths + xfi
@@ -188,8 +191,19 @@ def _bilinear_fetch(ptex: PackedTexture, level_idx, uv):
 MATMUL_FETCH_MAX_TEXELS = 4096
 
 
+def _wrap_mod(x, m, pow2: bool):
+    """x mod m for per-lane m; integer mod is emulated (slow) on the VPU,
+    so power-of-two sizes use bitwise AND."""
+    if pow2:
+        return x & (m - 1)
+    return jnp.mod(x, m)
+
+
 def _bilinear_weights(ptex: PackedTexture, level_idx, uv):
     """Flat indices + weights of the 4 bilinear taps at integer level."""
+    pow2 = all(
+        w > 0 and (w & (w - 1)) == 0 for w in ptex.widths
+    ) and all(h > 0 and (h & (h - 1)) == 0 for h in ptex.heights)
     widths = jnp.asarray(ptex.widths, jnp.int32)[level_idx]
     heights = jnp.asarray(ptex.heights, jnp.int32)[level_idx]
     offsets = jnp.asarray(ptex.offsets, jnp.int32)[level_idx]
@@ -203,10 +217,10 @@ def _bilinear_weights(ptex: PackedTexture, level_idx, uv):
     v = y - yf
     xf = xf.astype(jnp.int32)
     yf = yf.astype(jnp.int32)
-    xfi = jnp.mod(xf, widths)
-    yfi = jnp.mod(yf, heights)
-    xci = jnp.mod(xf + 1, widths)
-    yci = jnp.mod(yf + 1, heights)
+    xfi = _wrap_mod(xf, widths, pow2)
+    yfi = _wrap_mod(yf, heights, pow2)
+    xci = _wrap_mod(xf + 1, widths, pow2)
+    yci = _wrap_mod(yf + 1, heights, pow2)
     idx = jnp.stack(
         [
             offsets + yfi * widths + xfi,

@@ -84,3 +84,23 @@ def test_pallas_kernel_matches_mm_interpret(fs):
     occ_a = occluded_mm(fs, ray)
     occ_b = occluded_pallas(fs, ray, interpret=True)
     np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
+
+
+def test_large_scene_cluster_dispatch_renders():
+    """>16k-triangle scenes route to the clustered engine inside a real
+    render (accel.py dispatch) and stay finite."""
+    import sys
+
+    import redner_tpu as rt
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship_scene
+
+    scene = _flagship_scene(res=(8, 8), n_seg=92)  # 2*92*184 > 16384 tris
+    fs2 = flatten_scene(scene)
+    assert fs2.num_triangles > accel.MM_MAX_TRIS
+    img = rt.render_image(
+        scene, rt.RenderOptions(num_samples=1, max_bounces=1), seed=0
+    )
+    assert bool(jnp.all(jnp.isfinite(img)))
+    assert float(img.sum()) > 0

@@ -175,3 +175,28 @@ def test_secondary_edge_nee_importance_reduces_variance():
     assert np.isfinite(vals).all()
     spread = vals.std()
     assert spread < 0.6 * max(abs(vals.mean()), 0.1), (vals.mean(), spread)
+
+
+def test_alpha_edge_gradient_matches_fd():
+    """Silhouette coverage gradients through the alpha channel.
+
+    Uses a SCALE of the triangle about its centroid: total coverage then
+    changes coherently (d(area)/d(scale) = 2A), giving a well-posed finite
+    difference — a pure translation keeps the area constant and FD is all
+    noise.  AD alone gives exactly zero for coverage."""
+    scene = single_triangle_scene(res=(16, 16))
+    opts = rt.RenderOptions(num_samples=16, max_bounces=0,
+                            channels=(rt.channels.alpha,))
+    tri = scene.shapes[0]
+    centroid = jnp.mean(tri.vertices, axis=0, keepdims=True)
+
+    def loss(s_):
+        v = centroid + (tri.vertices - centroid) * (1.0 + s_)
+        s = scene.replace(shapes=(tri.replace(vertices=v),) + scene.shapes[1:])
+        return jnp.sum(rt.render(s, opts, seed=0))
+
+    g = jax.grad(loss)(0.0)
+    eps = 0.05
+    fd = (loss(eps) - loss(-eps)) / (2 * eps)
+    assert abs(float(fd)) > 1.0  # coverage really changes
+    assert jnp.allclose(g, fd, rtol=0.4), (float(g), float(fd))
