@@ -283,10 +283,14 @@ def sample_primary(camera: Camera, screen_pos: jnp.ndarray) -> Ray:
         raise ValueError(f"unknown camera type {ct}")
 
 
-def sample_primary_rays(camera: Camera, jitter: jnp.ndarray):
+def sample_primary_rays(camera: Camera, jitter: jnp.ndarray,
+                        pixel_order=None):
     """Rays + ray differentials for every viewport pixel.
 
     jitter: (num_pixels, 2) in [0,1)^2 (0.5 for pixel centers).
+    pixel_order: optional (num_pixels,) permutation — lane k generates the
+    ray of viewport-flat pixel pixel_order[k] (tile swizzling for ray
+    coherence).
     Ray differentials follow the reference's finite-difference construction
     with delta=1e-3 and half-pixel scaling (src/camera.cpp:8-43).
     Returns (Ray, RayDifferential) with batch shape (num_pixels,).
@@ -296,7 +300,10 @@ def sample_primary_rays(camera: Camera, jitter: jnp.ndarray):
     vh = bottom - top
     n = vw * vh
     dtype = jitter.dtype
-    idx = jnp.arange(n, dtype=jnp.int32)
+    if pixel_order is None:
+        idx = jnp.arange(n, dtype=jnp.int32)
+    else:
+        idx = jnp.asarray(pixel_order, jnp.int32)
     px = (idx % vw + left).astype(dtype)
     py = (idx // vw + top).astype(dtype)
     screen_pos = jnp.stack(

@@ -153,48 +153,29 @@ def _coeff_layout(fs):
 
 
 def _tile_chunk_mask(org, d, tmin, tmax, live, ntile, cl_min, cl_max):
-    """Conservative (ntile, nchunks) activity mask via interval reach.
+    """(ntile, nchunks) activity mask: exact per-ray slab tests vs chunk
+    AABBs, OR-reduced over each tile's lanes.
 
-    Reachable points of a tile's rays lie inside O + [0, T] * D (per-axis
-    interval arithmetic over the tile's origin box O and direction box D);
-    a chunk whose AABB misses that box on any axis can be skipped.  Always
-    a superset of the true hit set — pure optimization, never drops hits.
-    """
-    n = org.shape[0]
-    o_t = org.reshape(ntile, TILE_N, 3)
-    d_t = d.reshape(ntile, TILE_N, 3)
-    live_t = live.reshape(ntile, TILE_N, 1)
-    big = jnp.float32(3e38)
-    o_lo = jnp.min(jnp.where(live_t, o_t, big), axis=1)  # (ntile, 3)
-    o_hi = jnp.max(jnp.where(live_t, o_t, -big), axis=1)
-    d_lo = jnp.min(jnp.where(live_t, d_t, big), axis=1)
-    d_hi = jnp.max(jnp.where(live_t, d_t, -big), axis=1)
-    any_live = jnp.any(live_t[:, :, 0], axis=1)
-
-    # Ray-length bound: distance from the tile origin box to the scene
-    # bounds' far side (rays cannot hit geometry beyond it), capped by the
-    # largest finite tmax in the tile.
-    scene_lo = jnp.min(cl_min, axis=0)
-    scene_hi = jnp.max(cl_max, axis=0)
-    far = jnp.maximum(jnp.abs(scene_hi - o_lo), jnp.abs(scene_lo - o_hi))
-    # 2x margin covers mildly non-normalized directions (|dir| >= 0.5).
-    T_geo = 2.0 * jnp.linalg.norm(far, axis=-1)  # (ntile,)
-    tmax_t = tmax.reshape(ntile, TILE_N)
-    tmax_finite = jnp.where(jnp.isfinite(tmax_t), tmax_t, 0.0)
-    has_inf = jnp.any(~jnp.isfinite(tmax_t) & live_t[:, :, 0], axis=1)
-    T_lim = jnp.where(has_inf, T_geo, jnp.max(tmax_finite, axis=1))
-    T_lim = jnp.maximum(T_lim, 0.0)[:, None]
-
-    # [0, T] * [d_lo, d_hi] per axis.
-    r_lo = o_lo + jnp.minimum(0.0, T_lim * d_lo)
-    r_hi = o_hi + jnp.maximum(0.0, T_lim * d_hi)
-
-    overlap = jnp.all(
-        (r_hi[:, None, :] >= cl_min[None, :, :])
-        & (r_lo[:, None, :] <= cl_max[None, :, :]),
-        axis=-1,
-    )  # (ntile, nchunks)
-    return (overlap & any_live[:, None]).astype(jnp.int32)
+    The dense top level of a two-level BVH — (rays x chunks) is small, the
+    VPU eats it, and the per-tile OR gives the Pallas grid a skip mask
+    that is exact per ray (no interval-arithmetic blowup for diagonal
+    bundles)."""
+    live_f = live
+    safe_d = jnp.where(live_f[:, None] & (jnp.abs(d) > 1e-20), d,
+                       jnp.where(d >= 0, 1e-20, -1e-20))
+    inv_d = 1.0 / safe_d
+    t0 = (cl_min[None, :, :] - org[:, None, :]) * inv_d[:, None, :]
+    t1 = (cl_max[None, :, :] - org[:, None, :]) * inv_d[:, None, :]
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (N, C)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (
+        (t_far >= t_near)
+        & (t_far >= tmin[:, None])
+        & (t_near <= tmax[:, None])
+        & live_f[:, None]
+    )
+    tile_hit = jnp.any(hit.reshape(ntile, TILE_N, -1), axis=1)
+    return tile_hit.astype(jnp.int32)
 
 
 def _coherence_order(org, d, live):

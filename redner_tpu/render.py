@@ -554,6 +554,31 @@ def trace_radiance(
     return radiance
 
 
+SWIZZLE_BLOCK = (16, 32)  # (rows, cols): 512 pixels = one Pallas ray tile
+
+
+def swizzle_order(vh: int, vw: int):
+    """Static pixel permutation grouping 16x32 screen blocks contiguously.
+
+    Row-major pixel order makes every 512-lane intersect tile a full image
+    row (maximal direction spread — no chunk culling); block order gives
+    tiles tight frusta so the conservative reach mask prunes.  Returns
+    (order, inverse) as numpy int32 (order[k] = flat pixel of lane k)."""
+    import numpy as np
+
+    bh, bw = SWIZZLE_BLOCK
+    y, x = np.mgrid[0:vh, 0:vw]
+    key = (
+        ((y // bh) * ((vw + bw - 1) // bw) + (x // bw)).astype(np.int64)
+        * (bh * bw)
+        + (y % bh) * bw
+        + (x % bw)
+    )
+    order = np.argsort(key.ravel(), kind="stable").astype(np.int32)
+    inverse = np.argsort(order, kind="stable").astype(np.int32)
+    return order, inverse
+
+
 def render_sample(
     fs: FlatScene,
     camera: Camera,
@@ -562,9 +587,11 @@ def render_sample(
     sample_id,
     jitter=None,
     primary_rays=None,
+    pixel_order=None,
 ):
     """Trace one sample per pixel; returns (num_pixels, C) contribution
-    (unweighted — caller averages over samples).
+    (unweighted — caller averages over samples), lane k = pixel
+    pixel_order[k] (identity when None).
 
     `jitter`/`primary_rays` overrides exist for the edge-sampling passes,
     which trace full paths from externally supplied rays
@@ -573,7 +600,10 @@ def render_sample(
     ci = options.channel_info
     top, left, bottom, right = camera.viewport_or_full
     n = (right - left) * (bottom - top)
-    pixel_ids = jnp.arange(n, dtype=jnp.int32)
+    if pixel_order is None:
+        pixel_ids = jnp.arange(n, dtype=jnp.int32)
+    else:
+        pixel_ids = jnp.asarray(pixel_order, jnp.int32)
     dtype = fs.vertices.dtype
 
     dim = sampler_mod.DimAllocator()
@@ -583,10 +613,12 @@ def render_sample(
             if options.sample_pixel_center:
                 jitter = jnp.full((n, 2), 0.5, dtype)
             else:
+                # RNG keyed by the TRUE pixel id: images are identical for
+                # any lane order.
                 jitter = sampler_mod.draw(
                     options.sampler_type, seed, pixel_ids, sample_id, cam_dim, 2
                 )
-        ray, ray_diff = sample_primary_rays(camera, jitter)
+        ray, ray_diff = sample_primary_rays(camera, jitter, pixel_order=pixel_ids)
     else:
         ray, ray_diff = primary_rays
 
@@ -651,6 +683,11 @@ def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
     vw, vh = right - left, bottom - top
     ci = options.channel_info
     seed = jnp.asarray(seed, jnp.uint32)
+    # Static tile swizzle: lanes cover 16x32 screen blocks so intersect
+    # ray tiles have tight frusta (RNG is keyed by true pixel ids, so the
+    # image is bit-identical to row-major order).
+    order_np, inverse_np = swizzle_order(vh, vw)
+    order = jnp.asarray(order_np)
 
     def constrain(x):
         if pixel_sharding is not None:
@@ -658,7 +695,9 @@ def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
         return x
 
     def body(acc, sample_id):
-        contrib = render_sample(fs, camera, options, seed, sample_id)
+        contrib = render_sample(
+            fs, camera, options, seed, sample_id, pixel_order=order
+        )
         return acc + constrain(contrib), None
 
     init = constrain(
@@ -668,4 +707,6 @@ def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
         body, init, jnp.arange(options.num_samples, dtype=jnp.uint32)
     )
     img = img / options.num_samples
+    # Unswizzle: lane k holds pixel order[k].
+    img = img[jnp.asarray(inverse_np)]
     return img.reshape(vh, vw, ci.num_total_dimensions)
