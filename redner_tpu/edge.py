@@ -202,14 +202,16 @@ def primary_edge_gradients(
     top, left, bottom, right = camera.viewport_or_full
 
     edges = build_edges(fs)
-    cam_org = sample_primary(
-        camera, jnp.full((1, 2), 0.5, dtype)
-    ).org[0]
-    sil = silhouette_mask(fs, edges, sg(cam_org))
+    center_ray = sample_primary(camera, jnp.full((1, 2), 0.5, dtype))
     if camera.camera_type == CameraType.orthographic:
-        # Orthographic silhouettes: use the (constant) view direction as a
-        # point at infinity — test against a far-away point along -z view.
-        pass
+        # Orthographic: the viewpoint is at infinity along -view; a point
+        # far behind the film plane gives the same silhouette classification
+        # for any scene of finite extent.
+        span = 2.0 * fs.bsphere_radius + 1.0
+        cam_org = fs.bsphere_center - center_ray.dir[0] * (span * 1e3)
+    else:
+        cam_org = center_ray.org[0]
+    sil = silhouette_mask(fs, edges, sg(cam_org))
 
     p0_pix, valid0 = project_pixels(camera, fs.vertices[edges.v0])
     p1_pix, valid1 = project_pixels(camera, fs.vertices[edges.v1])

@@ -66,7 +66,14 @@ class RenderOptions:
         num_edge_samples: Optional[int] = None,
         max_generic_texture_dimension: int = 16,
     ):
-        self.num_samples = int(num_samples)
+        # (forward, backward) sample counts, reference-style: an int means
+        # both passes use it (pyredner num_samples tuple semantics).
+        if isinstance(num_samples, (tuple, list)):
+            self.num_samples = int(num_samples[0])
+            self.num_samples_backward = int(num_samples[1])
+        else:
+            self.num_samples = int(num_samples)
+            self.num_samples_backward = int(num_samples)
         self.max_bounces = int(max_bounces)
         self.channel_info = ChannelInfo(channels, max_generic_texture_dimension)
         self.sampler_type = sampler_type
@@ -80,6 +87,7 @@ class RenderOptions:
     def _key(self):
         return (
             self.num_samples,
+            self.num_samples_backward,
             self.max_bounces,
             self.channel_info.channels,
             self.channel_info.max_generic_texture_dimension,

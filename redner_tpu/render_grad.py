@@ -185,13 +185,23 @@ def make_render(options: RenderOptions):
         img = render_image(scene, options, seed=seed)
         return img, (scene, seed)
 
+    # Backward pass uses its own sample count (reference num_samples[1],
+    # pyredner/render_pytorch.py:657-663).
+    if options.num_samples_backward != options.num_samples:
+        import copy as _copy
+
+        options_b = _copy.copy(options)
+        options_b.num_samples = options.num_samples_backward
+    else:
+        options_b = options
+
     def _bwd(res, ct_img):
         scene, seed = res
         seed_b = seed if _use_correlated else seed + 1
 
         # --- 1. continuous gradients (AD re-render) ---
         _, vjp_fn = jax.vjp(
-            lambda s: render_image(s, options, seed=seed_b), scene
+            lambda s: render_image(s, options_b, seed=seed_b), scene
         )
         (d_scene,) = vjp_fn(ct_img)
 
@@ -215,21 +225,21 @@ def make_render(options: RenderOptions):
             top, left, bottom, right = scene.camera.viewport_or_full
             n_pix = (right - left) * (bottom - top)
             num_edge_samples = options.num_edge_samples or (
-                n_pix * options.num_samples
+                n_pix * options_b.num_samples
             )
 
             def surrogate(s):
                 out = jnp.zeros((), d_radiance.dtype)
                 if options.use_primary_edge_sampling:
                     out = out + primary_edge_gradients(
-                        s, flatten_scene, trace_radiance, options,
+                        s, flatten_scene, trace_radiance, options_b,
                         seed_b, d_radiance, num_edge_samples,
                         d_alpha=d_alpha,
                     )
                 if options.use_secondary_edge_sampling and roff >= 0:
                     d_flat = d_radiance.reshape(-1, 3)
                     out = out + _secondary_surrogate_all_samples(
-                        s, options, seed_b, d_flat
+                        s, options_b, seed_b, d_flat
                     )
                 return out
 

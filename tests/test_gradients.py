@@ -124,3 +124,22 @@ def test_no_nan_gradients_all_params():
     for leaf in leaves:
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
             assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_forward_backward_sample_counts():
+    """num_samples=(forward, backward) tuples (reference pyredner
+    num_samples semantics, render_pytorch.py:657-663)."""
+    scene = single_triangle_scene(res=(8, 8))
+    o_tuple = rt.RenderOptions(num_samples=(4, 1), max_bounces=1)
+    o_fwd = rt.RenderOptions(num_samples=4, max_bounces=1)
+    a = rt.render(scene, o_tuple, seed=0)
+    b = rt.render(scene, o_fwd, seed=0)
+    assert jnp.allclose(a, b)  # forward identical
+    g = jax.grad(
+        lambda v: jnp.sum(rt.render(
+            scene.replace(shapes=(scene.shapes[0].replace(vertices=v),)
+                          + scene.shapes[1:]),
+            o_tuple, seed=0))
+    )(scene.shapes[0].vertices)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.abs(g).sum()) > 0
