@@ -171,27 +171,26 @@ def project_pixels(camera: Camera, p_world):
 def primary_edge_gradients(
     scene,
     flatten_scene_fn,
-    trace_fn,
+    render_sample_fn,
     options,
     seed,
-    d_radiance,
+    d_image,
     num_edge_samples: int,
-    d_alpha=None,
 ):
     """Gradient contribution of primary (screen-space) silhouette edges.
 
-    d_radiance: (vh, vw, 3) adjoint of the radiance channel.
-    d_alpha: optional (vh, vw) adjoint of the alpha channel — silhouette
-    motion flips coverage, so alpha gets an edge term too (the reference
-    weights edge contributions by every channel's multiplier,
+    d_image: (vh, vw, C) adjoint of the FULL channel image — every channel
+    (radiance, alpha, depth, normals, albedo AOVs...) jumps across
+    silhouettes and receives an edge term, weighted by its adjoint
+    (reference weights edge contributions by every channel's multiplier,
     src/primary_contribution.cpp:31,131-133).
-    Returns a cotangent pytree matching `scene`.
+    Returns a surrogate scalar whose gradient is the edge contribution.
 
     Estimator (per edge sample at screen point x with screen normal n_hat):
-        dI_p/dtheta += (f_minus - f_plus) . d_radiance[p] / pdf
+        dI_p/dtheta += (f_minus - f_plus) . d_image[p] / pdf
                        * <n_hat, dx/dtheta>
-    where f_+/- are full-path radiances of rays offset +/-delta along n_hat
-    (reference two-sided edge rays with weight +/-d_color/pmf,
+    where f_+/- are full per-channel evaluations of rays offset +/-delta
+    along n_hat (reference two-sided edge rays with weight +/-d_color/pmf,
     src/edge.cpp:385-652; Eq. 8 vertex/camera gradients via the
     differentiable projection x(v0, v1, camera)).
     """
@@ -258,21 +257,18 @@ def primary_edge_gradients(
     both_org = jnp.concatenate([ray_p.org, ray_m.org])
     both_dir = jnp.concatenate([ray_p.dir, ray_m.dir])
     both = Ray.make(both_org, both_dir)
-    lane_ids = jnp.concatenate([eids, eids + N])
-    f_both, valid_both = trace_fn(
-        fs, options, edge_seed, lane_ids, 0, both,
-        RayDifferential.zero((2 * N,), dtype),
-        return_primary_valid=True,
-    )
+    # Full per-channel evaluation of both offset rays (AOVs + radiance).
+    f_both = render_sample_fn(
+        fs, camera, options, edge_seed, jnp.uint32(0),
+        primary_rays=(both, RayDifferential.zero((2 * N,), dtype)),
+    )  # (2N, C)
     f_plus = sg(f_both[:N])
     f_minus = sg(f_both[N:])
-    a_plus = sg(valid_both[:N]).astype(dtype)
-    a_minus = sg(valid_both[N:]).astype(dtype)
 
     # --- adjoint pixel lookup ---
     px = jnp.clip(xs[:, 0].astype(jnp.int32) - left, 0, right - left - 1)
     py = jnp.clip(xs[:, 1].astype(jnp.int32) - top, 0, bottom - top - 1)
-    d_pix = sg(d_radiance)[py, px]  # (N, 3)
+    d_pix = sg(d_image)[py, px]  # (N, C)
     inside = (
         (xs[:, 0] >= left) & (xs[:, 0] < right)
         & (xs[:, 1] >= top) & (xs[:, 1] < bottom)
@@ -280,8 +276,6 @@ def primary_edge_gradients(
 
     pdf = sg(pmf[sel] / jnp.maximum(seg_len[sel], 1e-20))  # per unit length
     w = jnp.sum((f_minus - f_plus) * d_pix, axis=-1)
-    if d_alpha is not None:
-        w = w + (a_minus - a_plus) * sg(d_alpha)[py, px]
     w = w / jnp.maximum(pdf, 1e-20)
     w = jnp.where(inside & (pdf > 0) & sg(any_edges), w, 0.0) / N
     w = sg(w)

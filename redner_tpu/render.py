@@ -607,7 +607,12 @@ def render_sample(
     """
     ci = options.channel_info
     top, left, bottom, right = camera.viewport_or_full
-    n = (right - left) * (bottom - top)
+    if primary_rays is not None:
+        # Externally supplied rays (edge passes): lane count comes from
+        # the rays; lanes key the RNG directly.
+        n = primary_rays[0].org.shape[0]
+    else:
+        n = (right - left) * (bottom - top)
     if pixel_order is None:
         pixel_ids = jnp.arange(n, dtype=jnp.int32)
     else:

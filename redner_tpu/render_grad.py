@@ -26,7 +26,8 @@ from redner_tpu.camera import sample_primary_rays
 from redner_tpu.core import vecmath as vm
 from redner_tpu.edge import primary_edge_gradients, secondary_edge_surrogate
 from redner_tpu.material import bsdf
-from redner_tpu.render import (RenderOptions, render_image, trace_radiance)
+from redner_tpu.render import (RenderOptions, render_image, render_sample,
+                               trace_radiance)
 from redner_tpu.scene import (FlatScene, fetch_local_material, flatten_scene,
                               gather_face_corner_attribs, gather_face_vertices)
 
@@ -205,12 +206,9 @@ def make_render(options: RenderOptions):
         )
         (d_scene,) = vjp_fn(ct_img)
 
-        from redner_tpu.channels import Channels
-
         ci = options.channel_info
         roff = ci.radiance_dimension
-        has_alpha = Channels.alpha in ci.channels
-        needs_edges = (roff >= 0 or has_alpha) and (
+        needs_edges = (
             options.use_primary_edge_sampling
             or options.use_secondary_edge_sampling
         )
@@ -219,9 +217,6 @@ def make_render(options: RenderOptions):
                 d_radiance = ct_img[..., roff : roff + 3]
             else:
                 d_radiance = jnp.zeros(ct_img.shape[:2] + (3,), ct_img.dtype)
-            d_alpha = (
-                ct_img[..., ci.offset_of(Channels.alpha)] if has_alpha else None
-            )
             top, left, bottom, right = scene.camera.viewport_or_full
             n_pix = (right - left) * (bottom - top)
             num_edge_samples = options.num_edge_samples or (
@@ -229,12 +224,12 @@ def make_render(options: RenderOptions):
             )
 
             def surrogate(s):
-                out = jnp.zeros((), d_radiance.dtype)
+                out = jnp.zeros((), ct_img.dtype)
                 if options.use_primary_edge_sampling:
+                    # Full-channel adjoint: every AOV jumps at silhouettes.
                     out = out + primary_edge_gradients(
-                        s, flatten_scene, trace_radiance, options_b,
-                        seed_b, d_radiance, num_edge_samples,
-                        d_alpha=d_alpha,
+                        s, flatten_scene, render_sample, options_b,
+                        seed_b, ct_img, num_edge_samples,
                     )
                 if options.use_secondary_edge_sampling and roff >= 0:
                     d_flat = d_radiance.reshape(-1, 3)
