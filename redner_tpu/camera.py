@@ -355,7 +355,7 @@ def camera_to_screen(camera: Camera, pt_cam: jnp.ndarray):
     elif ct == CameraType.fisheye:
         d = vm.normalize(pt_cam)
         cos_theta = d[..., 2]
-        theta = jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0))
+        theta = jnp.arccos(jnp.clip(cos_theta, -1.0 + 1e-6, 1.0 - 1e-6))
         r = theta * 2.0 / jnp.pi
         phi = jnp.arctan2(-d[..., 1], -d[..., 0])
         x = 0.5 * (r * jnp.cos(phi) + 1.0)
@@ -364,7 +364,7 @@ def camera_to_screen(camera: Camera, pt_cam: jnp.ndarray):
         valid = jnp.ones(screen.shape[:-1], bool)
     elif ct == CameraType.panorama:
         d = vm.normalize(pt_cam)
-        theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+        theta = jnp.arccos(jnp.clip(d[..., 1], -1.0 + 1e-6, 1.0 - 1e-6))
         phi = jnp.arctan2(d[..., 2], d[..., 0])
         phi = jnp.where(phi < 0, phi + 2.0 * jnp.pi, phi)
         screen = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)

@@ -98,7 +98,10 @@ def pack_envmap(env: EnvironmentMap) -> PackedEnvmap:
 
 
 def _safe_acos(x):
-    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+    # Strictly inside [-1, 1]: d(acos)/dx diverges at the boundary and the
+    # infinite derivative leaks through downstream wheres (poles of the
+    # lat-long map; reference clamps with 1-1e-6 too).
+    return jnp.arccos(jnp.clip(x, -1.0 + 1e-6, 1.0 - 1e-6))
 
 
 def _dir_to_uv(local_dir):

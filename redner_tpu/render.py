@@ -170,10 +170,13 @@ def _accumulate_primary(
             emission, _ = _face_emission(fs, isect.tri_id, vm.dot(wi, sp.frame_n))
             emission = jnp.where(vmask, emission, 0.0)
             if fs.has_envmap and fs.envmap.directly_visible:
-                env = envmap_eval(fs.envmap, ray.dir, ray_diff)
-                emission = jnp.where(
-                    (active & ~isect.valid)[..., None], env, emission
+                miss = active & ~isect.valid
+                safe_dir = jnp.where(
+                    miss[..., None], ray.dir,
+                    jnp.asarray([0.0, 0.0, 1.0], ray.dir.dtype),
                 )
+                env = envmap_eval(fs.envmap, safe_dir, ray_diff)
+                emission = jnp.where(miss[..., None], env, emission)
             img = img.at[:, off : off + 3].add(weight * throughput * emission)
         elif ch == Channels.alpha:
             img = img.at[:, off].add(jnp.where(valid, weight, 0.0))
@@ -375,9 +378,16 @@ def _scatter_contribution(
     hit = bsdf_isect.valid
     dirv = bsdf_sp.position - sp.position
     dist_sq = vm.length_squared(dirv)
-    wo_hit = vm.normalize(dirv)
+    # Missed rays re-derive a surface point on a clamped triangle that can
+    # coincide with the shading plane: normalize(~0) has NaN derivatives
+    # that leak through jnp.where — sanitize before the nonlinearity.
+    dir_ok = hit & (dist_sq > 1e-20)
+    safe_dirv = jnp.where(
+        dir_ok[..., None], dirv, jnp.asarray([0.0, 0.0, 1.0], dirv.dtype)
+    )
+    wo_hit = vm.normalize(safe_dirv)
     pdf_b_hit = bsdf_pdf(lm, sp, wi, wo_hit, min_rough)
-    ok_hit = hit & (dist_sq > 1e-20) & (pdf_b_hit > 1e-20)
+    ok_hit = dir_ok & (pdf_b_hit > 1e-20)
     bsdf_val_hit = bsdf(lm, sp, wi, wo_hit, min_rough)
     # Emissive hit -> MIS light contribution
     emission, is_light = _face_emission_nee(fs, bsdf_isect, wo_hit, bsdf_sp)
@@ -408,9 +418,16 @@ def _scatter_contribution(
         ok_env = (~hit) & (vm.length_squared(wo_env) > 0) & (pdf_b_env > 1e-20)
         bsdf_val_env = bsdf(lm, sp, wi, wo_env, min_rough)
         zero_diff = RayDifferential.zero(wo_env.shape[:-1], wo_env.dtype)
-        light_contrib = envmap_eval(fs.envmap, wo_env, zero_diff)
+        # Sanitize masked lanes BEFORE the spherical-coordinate math:
+        # atan2/acos of a zero direction produces NaN whose *derivative*
+        # leaks through jnp.where (double-where guard).
+        safe_wo_env = jnp.where(
+            ok_env[..., None], wo_env,
+            jnp.asarray([0.0, 0.0, 1.0], wo_env.dtype),
+        )
+        light_contrib = envmap_eval(fs.envmap, safe_wo_env, zero_diff)
         env_id = fs.num_lights - 1
-        pdf_nee = envmap_pdf(fs.envmap, wo_env) * fs.light_pmf[env_id]
+        pdf_nee = envmap_pdf(fs.envmap, safe_wo_env) * fs.light_pmf[env_id]
         mis = 1.0 / (1.0 + vm.square(vm.safe_div(pdf_nee, pdf_b_env)))
         contrib = (mis * vm.safe_div(jnp.ones_like(pdf_b_env), pdf_b_env))[
             ..., None
@@ -478,9 +495,14 @@ def trace_radiance(
         )
         emission = jnp.where(isect.valid[..., None], emission, 0.0)
         if fs.has_envmap and (fs.envmap.directly_visible or not camera_ray):
-            env = envmap_eval(fs.envmap, ray.dir, ray_diff)
             live = jnp.sum(ray.dir * ray.dir, axis=-1) > 0
-            emission = jnp.where((live & ~isect.valid)[..., None], env, emission)
+            miss = live & ~isect.valid
+            safe_dir = jnp.where(
+                miss[..., None], ray.dir,
+                jnp.asarray([0.0, 0.0, 1.0], ray.dir.dtype),
+            )
+            env = envmap_eval(fs.envmap, safe_dir, ray_diff)
+            emission = jnp.where(miss[..., None], env, emission)
         radiance = radiance + emission
 
     dim = sampler_mod.DimAllocator()

@@ -270,9 +270,12 @@ def texture_eval(ptex: PackedTexture, uv, du_dxy, dv_dxy):
     dv = dv_dxy * ptex.uv_scale[1]
     w0 = float(ptex.widths[0])
     h0 = float(ptex.heights[0])
+    # sqrt has an unbounded derivative at 0 (exact zeros are common for
+    # masked/zero ray differentials): floor the radicand so the chain rule
+    # sees a finite slope times a zero tangent instead of inf * 0 = NaN.
     footprint = jnp.maximum(
-        jnp.sqrt(jnp.sum(du * du, axis=-1)) * w0,
-        jnp.sqrt(jnp.sum(dv * dv, axis=-1)) * h0,
+        jnp.sqrt(jnp.maximum(jnp.sum(du * du, axis=-1), 1e-20)) * w0,
+        jnp.sqrt(jnp.maximum(jnp.sum(dv * dv, axis=-1), 1e-20)) * h0,
     )
     level = jnp.log2(jnp.maximum(footprint, 1e-8))
     nl = ptex.num_levels

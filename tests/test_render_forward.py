@@ -130,3 +130,50 @@ def test_sample_pixel_center_deterministic_across_seeds():
     a = rt.render_image(scene, opts, seed=0)
     b = rt.render_image(scene, opts, seed=99)
     assert jnp.array_equal(a, b)
+
+
+def test_sobol_sampler_end_to_end():
+    """QMC sampler through the full renderer (reference tests/test_qmc.py)."""
+    scene = single_triangle_scene(res=(8, 8))
+    o_sobol = rt.RenderOptions(num_samples=4, max_bounces=1,
+                               sampler_type=rt.SamplerType.sobol)
+    img = rt.render_image(scene, o_sobol, seed=0)
+    assert bool(jnp.all(jnp.isfinite(img)))
+    assert float(img.sum()) > 0
+    o_ind = rt.RenderOptions(num_samples=4, max_bounces=1)
+    assert not jnp.allclose(img, rt.render_image(scene, o_ind, seed=0))
+    g = jax.grad(
+        lambda v: jnp.sum(rt.render_image(
+            scene.replace(shapes=(scene.shapes[0].replace(vertices=v),)
+                          + scene.shapes[1:]), o_sobol, seed=0))
+    )(scene.shapes[0].vertices)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_scene_without_lights():
+    """No lights, no envmap: black radiance, valid AOVs, finite grads."""
+    scene = single_triangle_scene(res=(8, 8))
+    dark = scene.replace(
+        area_lights=(),
+        shapes=(scene.shapes[0], scene.shapes[1].replace(light_id=-1)),
+    )
+    o = rt.RenderOptions(num_samples=2, max_bounces=1,
+                         channels=(rt.channels.radiance, rt.channels.alpha))
+    img = rt.render_image(dark, o, seed=0)
+    assert float(jnp.abs(img[..., :3]).max()) == 0.0
+    assert float(img[..., 3].max()) > 0.0  # alpha still sees geometry
+
+
+def test_envmap_only_edge_gradients():
+    """Silhouette gradients against an environment light (no area lights)."""
+    from tests.scene_util import envmap_scene
+
+    scene = envmap_scene(res=(8, 8))
+    o = rt.RenderOptions(num_samples=4, max_bounces=1)
+    tri = scene.shapes[0]
+    g = jax.grad(
+        lambda v: jnp.sum(rt.render(
+            scene.replace(shapes=(tri.replace(vertices=v),)), o, seed=0))
+    )(tri.vertices)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.abs(g).sum()) > 0
