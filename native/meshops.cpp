@@ -268,8 +268,12 @@ int32_t obj_count(const char* path, int64_t* num_vertices,
     char line[4096];
     int64_t nv = 0, nf = 0;
     while (std::fgets(line, sizeof(line), fp)) {
-        if (line[0] == 'v' && (line[1] == ' ' || line[1] == '\t')) ++nv;
-        else if (line[0] == 'f' && (line[1] == ' ' || line[1] == '\t')) {
+        if (line[0] == 'v' && (line[1] == ' ' || line[1] == '\t')) {
+            // Count exactly what pass 2 will write: lines whose three
+            // coordinates parse.
+            float x, y, z;
+            if (std::sscanf(line + 1, "%f %f %f", &x, &y, &z) == 3) ++nv;
+        } else if (line[0] == 'f' && (line[1] == ' ' || line[1] == '\t')) {
             int corners = 0;
             bool in_tok = false;
             for (char* c = line + 1; *c; ++c) {
@@ -277,6 +281,8 @@ int32_t obj_count(const char* path, int64_t* num_vertices,
                 if (!ws && !in_tok) { ++corners; in_tok = true; }
                 else if (ws) in_tok = false;
             }
+            // Same 64-corner cap as pass 2's fixed buffer.
+            if (corners > 64) corners = 64;
             if (corners >= 3) nf += corners - 2;
         }
     }

@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 
 from redner_tpu import sampler as sampler_mod
-from redner_tpu.camera import Camera, CameraType, project, sample_primary
+from redner_tpu.camera import (Camera, CameraType, camera_to_world, project,
+                               sample_primary)
 from redner_tpu.core import vecmath as vm
 from redner_tpu.core.types import Ray, RayDifferential
 from redner_tpu.scene import FlatScene
@@ -212,8 +213,42 @@ def primary_edge_gradients(
         cam_org = center_ray.org[0]
     sil = silhouette_mask(fs, edges, sg(cam_org))
 
-    p0_pix, valid0 = project_pixels(camera, fs.vertices[edges.v0])
-    p1_pix, valid1 = project_pixels(camera, fs.vertices[edges.v1])
+    # --- near-plane clip (src/camera.h:563-590): an edge with one endpoint
+    # behind the camera still carries silhouette gradients; clip the 3D
+    # segment against z = clip_near in camera space, then project the
+    # (now-valid) clipped endpoints.  The clip parameter moves endpoints
+    # tangentially along the edge, so it may be stop-gradiented: the Eq.-8
+    # estimator only uses the normal velocity <n_hat, dx/dtheta>.
+    ev0 = fs.vertices[edges.v0]
+    ev1 = fs.vertices[edges.v1]
+    if camera.camera_type in (CameraType.perspective, CameraType.orthographic):
+        from redner_tpu.core import transform as _xf
+
+        w2c = jnp.linalg.inv(jax.lax.stop_gradient(camera_to_world(camera)))
+        z0 = _xf.xfm_point(w2c, sg(ev0))[..., 2]
+        z1 = _xf.xfm_point(w2c, sg(ev1))[..., 2]
+        near = camera.clip_near
+        behind0 = z0 <= near
+        behind1 = z1 <= near
+        front_ok = ~(behind0 & behind1)
+        dz = z1 - z0
+        s = jnp.where(jnp.abs(dz) > 1e-20, (near - z0) / jnp.where(dz == 0, 1.0, dz), 0.0)
+        tz0 = jnp.where(behind0, s, 0.0)
+        tz1 = jnp.where(behind1, s, 1.0)
+    else:
+        front_ok = None
+        tz0 = jnp.zeros(ev0.shape[:-1], dtype)
+        tz1 = jnp.ones(ev0.shape[:-1], dtype)
+    tz0 = sg(tz0)
+    tz1 = sg(tz1)
+    a3 = ev0 + tz0[..., None] * (ev1 - ev0)
+    b3 = ev0 + tz1[..., None] * (ev1 - ev0)
+
+    p0_pix, valid0 = project_pixels(camera, a3)
+    p1_pix, valid1 = project_pixels(camera, b3)
+    if front_ok is not None:
+        valid0 = front_ok
+        valid1 = front_ok
     t0, t1, clip_ok = _clip_segment_screen(
         sg(p0_pix), sg(p1_pix), valid0, valid1,
         float(camera.width), float(camera.height),
@@ -237,9 +272,10 @@ def primary_edge_gradients(
     tt = t0[sel] + (t1[sel] - t0[sel]) * u[:, 1]  # param along full segment
     tt = sg(tt)
 
-    # Differentiable screen point of the sample (pixel units).
-    a_pix, _ = project_pixels(camera, fs.vertices[edges.v0[sel]])
-    b_pix, _ = project_pixels(camera, fs.vertices[edges.v1[sel]])
+    # Differentiable screen point of the sample (pixel units), on the
+    # near-plane-CLIPPED endpoints (behind-camera endpoints do not project).
+    a_pix, _ = project_pixels(camera, a3[sel])
+    b_pix, _ = project_pixels(camera, b3[sel])
     x_pix = (1.0 - tt)[:, None] * a_pix + tt[:, None] * b_pix
 
     e_dir = vm.normalize(sg(b_pix - a_pix))
@@ -312,6 +348,7 @@ def secondary_edge_surrogate(
     active,
     nee_dir=None,
     dim_base: int = 100,
+    bsdf_pdf_fn=None,
 ):
     """Surrogate scalar for secondary-edge gradients at shading points.
 
@@ -320,6 +357,18 @@ def secondary_edge_surrogate(
     bsdf_eval_fn(wo) -> (P, 3) BSDF value at the shading points.
     d_pixel:     (P, 3) adjoint radiance values (throughput-weighted).
     active:      (P,) lanes with a valid shading point.
+    bsdf_pdf_fn(wo) -> (P,) solid-angle BSDF pdf at the shading points
+    (enables the light-rim MIS split below; None = full weight).
+
+    The estimator supplies the FULL (weight-1) radiance-jump term for every
+    occluder silhouette, and for the light's own rim a per-destination
+    split: full weight toward the light vertices (the NEE light-sample
+    chain is stop-gradiented in render._sample_light_point, so AD carries
+    none of it) but BSDF-MIS weight on the emission part toward the
+    shading point (AD's NEE branch already carries the w_nee share of the
+    smooth p-deformation).  Validated against matched-seed finite
+    differences of the full render by tests/test_shadow.py
+    (blocker/receiver/light/camera ladder).
 
     For each shading point: importance-resample one silhouette edge from
     RESAMPLE_M uniform candidates (reference fallback, src/edge.cpp:
@@ -464,21 +513,73 @@ def secondary_edge_surrogate(
         tmax=jnp.full((2 * P,), jnp.inf, dtype),
     )
     lane2 = jnp.concatenate([lane, lane + P])
-    L_both = trace_fn(
+    L_both, E_both = trace_fn(
         fs, options, edge_seed, lane2, sample_id, ray2,
         RayDifferential.zero((2 * P,), dtype), dim_base + 10,
         camera_ray=False,  # directly_visible must not hide lights here
+        return_emission=True,
     )
     L_plus = sg(L_both[:P])
     L_minus = sg(L_both[P:])
+    E_plus = sg(E_both[:P])
+    E_minus = sg(E_both[P:])
 
     f_plus = sg(bsdf_eval_fn(dir_p))
     f_minus = sg(bsdf_eval_fn(dir_m))
 
     # w = <d_pixel, f*L_minus - f*L_plus> * |domega/dt| * RIS factors
-    diff = f_minus * L_minus - f_plus * L_plus
-    w = jnp.sum(sg(d_pixel) * diff, axis=-1) * speed * ris_factor * t_factor
-    w = jnp.where(active & has_cand, w, 0.0)
-    w = sg(w)
+    jac = speed * ris_factor * t_factor
+    diff_full = f_minus * L_minus - f_plus * L_plus
+    w_full = jnp.sum(sg(d_pixel) * diff_full, axis=-1) * jac
 
-    return jnp.sum(w * vm.dot(n_hat, omega))
+    # Per-destination weighting at the LIGHT'S OWN rim: the gradient toward
+    # the light vertices gets the full jump (AD carries none of it — the
+    # NEE light-sample chain is frozen), but the gradient toward the
+    # shading point must weight the EMISSION part of the jump by the
+    # BSDF-strategy MIS weight: pathwise AD of the NEE branch already
+    # captures the w_nee share of the smooth p-deformation, and only the
+    # visibility-flip terms (occluder silhouettes, full weight) plus the
+    # BSDF-branch share (w_b) of the rim are missing.  Validated against
+    # finite differences (tests/test_shadow.py, the clipped-triangle test).
+    if bsdf_pdf_fn is not None and fs.num_area_lights > 0:
+        F = fs.num_triangles
+        f0s = edges.f0[sel]
+        f1s = edges.f1[sel]
+        lid0 = fs.face_light_id[jnp.clip(f0s, 0, F - 1)]
+        lid1 = jnp.where(
+            f1s >= 0, fs.face_light_id[jnp.clip(f1s, 0, F - 1)], -1
+        )
+        lid = jnp.maximum(lid0, lid1)
+        edge_on_light = lid >= 0
+        # NEE pdf of the rim point (the edge lies on the light surface).
+        ln = _face_normals(fs, jnp.where(lid0 >= 0, f0s, f1s))
+        geom = vm.safe_div(
+            jnp.abs(vm.dot(omega_sg, sg(ln))), jnp.maximum(dist * dist, 1e-12)
+        )
+        lidc = jnp.clip(lid, 0, fs.num_area_lights - 1)
+        pdf_nee = vm.safe_div(
+            vm.safe_div(fs.light_pmf[lidc], fs.light_areas[lidc]), geom
+        )
+        pdf_b = sg(bsdf_pdf_fn(omega_sg))
+        ratio = jnp.clip(vm.safe_div(pdf_nee, pdf_b, eps=1e-20), 0.0, 1e4)
+        w_b = 1.0 / (1.0 + vm.square(ratio))
+        diff_e = f_minus * E_minus - f_plus * E_plus
+        diff_rest = diff_full - diff_e
+        w_p_light = jnp.sum(
+            sg(d_pixel) * (w_b[:, None] * diff_e + diff_rest), axis=-1
+        ) * jac
+        w_p = jnp.where(edge_on_light, w_p_light, w_full)
+    else:
+        w_p = w_full
+
+    live = active & has_cand
+    w_ab = sg(jnp.where(live, w_full, 0.0))
+    w_p = sg(jnp.where(live, w_p, 0.0))
+
+    # Two surrogate branches with the same primal direction but different
+    # gradient destinations (the surrogate's value is never used).
+    omega_ab = vm.normalize(x_edge - sg(sp_position))
+    omega_p = vm.normalize(sg(x_edge) - sp_position)
+    return jnp.sum(
+        w_ab * vm.dot(n_hat, omega_ab) + w_p * vm.dot(n_hat, omega_p)
+    )

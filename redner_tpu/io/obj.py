@@ -202,24 +202,36 @@ def load_obj(
             if has_n
             else None
         )
-        # Compact vertices used by this group.
-        used, inv = np.unique(vidx.ravel(), return_inverse=True)
-        verts = positions_np[used]
-        vidx_local = inv.reshape(vidx.shape).astype(np.int32)
-        g_uvs = g_uvidx = g_normals = g_nidx = None
-        if has_uv:
-            uvidx = np.where(uvidx < 0, 0, uvidx)
-            u_used, u_inv = np.unique(uvidx.ravel(), return_inverse=True)
-            g_uvs = uvs_np[u_used]
-            g_uvidx = u_inv.reshape(uvidx.shape).astype(np.int32)
-        if has_n:
-            nidx = np.where(nidx < 0, 0, nidx)
-            n_used, n_inv = np.unique(nidx.ravel(), return_inverse=True)
-            g_normals = normals_np[n_used]
-            g_nidx = n_inv.reshape(nidx.shape).astype(np.int32)
-        if use_common_indices:
-            g_uvidx = None if g_uvidx is None else g_uvidx
-            g_nidx = None if g_nidx is None else g_nidx
+        if use_common_indices and (has_uv or has_n):
+            # pyredner load_obj(use_common_indices=True) semantics: one
+            # shared index buffer; vertices are split per distinct
+            # (position, uv, normal) corner triple so uvs/normals are
+            # per-vertex arrays (reference pyredner/load_obj.py).
+            ui = np.where(uvidx < 0, 0, uvidx) if has_uv else np.zeros_like(vidx)
+            ni = np.where(nidx < 0, 0, nidx) if has_n else np.zeros_like(vidx)
+            triples = np.stack([vidx, ui, ni], axis=-1).reshape(-1, 3)
+            uniq, inv = np.unique(triples, axis=0, return_inverse=True)
+            verts = positions_np[uniq[:, 0]]
+            vidx_local = inv.reshape(vidx.shape).astype(np.int32)
+            g_uvs = uvs_np[uniq[:, 1]] if has_uv else None
+            g_normals = normals_np[uniq[:, 2]] if has_n else None
+            g_uvidx = g_nidx = None
+        else:
+            # Compact vertices used by this group.
+            used, inv = np.unique(vidx.ravel(), return_inverse=True)
+            verts = positions_np[used]
+            vidx_local = inv.reshape(vidx.shape).astype(np.int32)
+            g_uvs = g_uvidx = g_normals = g_nidx = None
+            if has_uv:
+                uvidx = np.where(uvidx < 0, 0, uvidx)
+                u_used, u_inv = np.unique(uvidx.ravel(), return_inverse=True)
+                g_uvs = uvs_np[u_used]
+                g_uvidx = u_inv.reshape(uvidx.shape).astype(np.int32)
+            if has_n:
+                nidx = np.where(nidx < 0, 0, nidx)
+                n_used, n_inv = np.unique(nidx.ravel(), return_inverse=True)
+                g_normals = normals_np[n_used]
+                g_nidx = n_inv.reshape(nidx.shape).astype(np.int32)
         mesh_list.append(
             (
                 gname,

@@ -107,14 +107,50 @@ class RenderOptions:
 
 def _surface_point_at(fs: FlatScene, isect: Intersection, ray: Ray,
                       ray_diff: RayDifferential):
-    """Differentiable surface point from a (non-diff) hit record."""
+    """Differentiable surface point from a (non-diff) hit record.
+
+    Missed lanes re-derive a point on a CLAMPED triangle; near-parallel
+    plane intersections make those values arbitrarily large, and huge
+    garbage leaks NaN into gradients through 0*inf even under downstream
+    masking (the double-where rule).  Sanitize at the source: invalid
+    lanes get a benign on-origin point with unit frames."""
     v0, v1, v2 = gather_face_vertices(fs, isect.tri_id)
     (uv0, uv1, uv2, n0, n1, n2, has_n, c0, c1, c2) = gather_face_corner_attribs(
         fs, isect.tri_id
     )
-    return build_surface_point(
+    sp, rd = build_surface_point(
         v0, v1, v2, uv0, uv1, uv2, n0, n1, n2, has_n, c0, c1, c2, ray, ray_diff
     )
+    valid = isect.valid
+    m3 = valid[..., None]
+    dtype = sp.position.dtype
+    ex = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    ey = jnp.asarray([0.0, 1.0, 0.0], dtype)
+    ez = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    z2 = jnp.zeros((2,), dtype)
+    z3 = jnp.zeros((3,), dtype)
+    sp = SurfacePoint(
+        position=jnp.where(m3, sp.position, ray.org),
+        geom_normal=jnp.where(m3, sp.geom_normal, ez),
+        frame_x=jnp.where(m3, sp.frame_x, ex),
+        frame_y=jnp.where(m3, sp.frame_y, ey),
+        frame_n=jnp.where(m3, sp.frame_n, ez),
+        dpdu=jnp.where(m3, sp.dpdu, ex),
+        uv=jnp.where(m3, sp.uv, z2),
+        du_dxy=jnp.where(m3, sp.du_dxy, z2),
+        dv_dxy=jnp.where(m3, sp.dv_dxy, z2),
+        dn_dx=jnp.where(m3, sp.dn_dx, z3),
+        dn_dy=jnp.where(m3, sp.dn_dy, z3),
+        color=jnp.where(m3, sp.color, z3),
+        barycentric=jnp.where(m3, sp.barycentric, z2),
+    )
+    rd = RayDifferential(
+        org_dx=jnp.where(m3, rd.org_dx, z3),
+        org_dy=jnp.where(m3, rd.org_dy, z3),
+        dir_dx=jnp.where(m3, rd.dir_dx, z3),
+        dir_dy=jnp.where(m3, rd.dir_dy, z3),
+    )
+    return sp, rd
 
 
 def _face_emission(fs: FlatScene, tri_id, wi_dot_n, camera_ray: bool = True):
@@ -270,6 +306,19 @@ def _sample_light_point(fs: FlatScene, sp_pos, light_uniforms):
         face = fs.light_tri_face[lidx, tri_ofs]
         v0, v1, v2 = gather_face_vertices(fs, face)
         lpos, lnormal, lbary = sample_tri_point(v0, v1, v2, light_uniforms[:, 2:4])
+        # Freeze the light-sample chain w.r.t. LIGHT GEOMETRY.  A partially
+        # reparameterized NEE (differentiable sample position but
+        # stop-gradiented pmf/area tables) carries an inconsistent share of
+        # the light-boundary motion, and pathwise AD misses every
+        # visibility flip regardless; the clean decomposition is: AD
+        # carries only smooth integrand terms, and the secondary-edge pass
+        # supplies the FULL weight-1 boundary term for every silhouette
+        # including the light's own rim (validated vs finite differences in
+        # tests/test_shadow.py::test_shadow_light_gradient_matches_fd; the
+        # reference's d_sample_shape chain, src/path_contribution.cpp:282,
+        # over-counts exactly this share).
+        lpos = jax.lax.stop_gradient(lpos)
+        lnormal = jax.lax.stop_gradient(lnormal)
         ldir = lpos - sp_pos
         dist = vm.length(ldir)
         wo = vm.normalize(ldir)
@@ -466,6 +515,7 @@ def trace_radiance(
     camera_ray: bool = True,
     primary_isect: Optional[Intersection] = None,
     return_primary_valid: bool = False,
+    return_emission: bool = False,
 ):
     """Full-path radiance estimate for arbitrary primary rays -> (n, 3).
 
@@ -475,10 +525,15 @@ def trace_radiance(
 
     lane_ids keys the RNG (pixel ids for camera paths, edge-sample ids for
     edge paths).  dim_start is the first sample dimension to draw from.
+
+    return_emission: also return the first-hit emission term alone (the
+    secondary-edge pass weights it separately from the reflected part when
+    the sampled edge is the light's own rim).
     """
     n = ray.org.shape[0]
     dtype = ray.org.dtype
     radiance = jnp.zeros((n, 3), dtype)
+    primary_emission = jnp.zeros((n, 3), dtype)
 
     # Pallas custom-calls are not reliably CSE'd; callers that already
     # intersected the primary ray pass the hit in to avoid a second sweep.
@@ -504,6 +559,7 @@ def trace_radiance(
             env = envmap_eval(fs.envmap, safe_dir, ray_diff)
             emission = jnp.where(miss[..., None], env, emission)
         radiance = radiance + emission
+        primary_emission = emission
 
     dim = sampler_mod.DimAllocator()
     dim.dim = dim_start
@@ -579,6 +635,8 @@ def trace_radiance(
             jnp.clip(bsdf_isect.tri_id, 0, fs.num_triangles - 1)
         ]
         lm = fetch_local_material(fs, sp, mid)
+    if return_emission:
+        return radiance, primary_emission
     if return_primary_valid:
         return radiance, primary_valid
     return radiance

@@ -25,7 +25,7 @@ from redner_tpu import sampler as sampler_mod
 from redner_tpu.camera import sample_primary_rays
 from redner_tpu.core import vecmath as vm
 from redner_tpu.edge import primary_edge_gradients, secondary_edge_surrogate
-from redner_tpu.material import bsdf
+from redner_tpu.material import bsdf, bsdf_pdf
 from redner_tpu.render import (RenderOptions, render_image, render_sample,
                                trace_radiance)
 from redner_tpu.scene import (FlatScene, fetch_local_material, flatten_scene,
@@ -120,12 +120,16 @@ def _secondary_surrogate_all_samples(scene, options, seed, d_radiance_flat):
             def bsdf_eval(wo, lm=lm, sp=sp, wi=wi, min_rough=min_rough):
                 return bsdf(lm, sp, wi, wo, min_rough)
 
+            def bsdf_pdf_eval(wo, lm=lm, sp=sp, wi=wi, min_rough=min_rough):
+                return bsdf_pdf(lm, sp, wi, wo, min_rough)
+
             d_pix = jax.lax.stop_gradient(throughput) * d_radiance_flat
             total = total + secondary_edge_surrogate(
                 fs, options, seed, sample_id,
                 sp.position, wi, bsdf_eval, trace_radiance,
                 d_pix, active, nee_dir=nee_dir,
                 dim_base=100 + 32 * bounce,
+                bsdf_pdf_fn=bsdf_pdf_eval,
             )
             if bounce + 1 >= options.max_bounces:
                 break

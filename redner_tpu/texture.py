@@ -189,6 +189,10 @@ def _bilinear_fetch(ptex: PackedTexture, level_idx, uv):
 # dense (lanes, texels) matmul on the MXU beats per-lane dynamic gathers,
 # and its transpose IS the texel-gradient scatter (also a matmul).
 MATMUL_FETCH_MAX_TEXELS = 4096
+# ... but never when the (lanes, texels) one-hot weight matrix could
+# materialize beyond this element budget (2^28 f32 = 1 GB) if XLA fails to
+# fuse its construction — a total-footprint bound, not a texel bound alone.
+MATMUL_FETCH_MAX_ELEMS = 1 << 28
 
 
 def _wrap_mod(x, m, pow2: bool):
@@ -284,7 +288,13 @@ def texture_eval(ptex: PackedTexture, uv, du_dxy, dv_dxy):
     level = jnp.clip(level, 0.0, nl - 1 - 1e-6)
     li = jnp.floor(level).astype(jnp.int32)
     ld = (level - li.astype(level.dtype))[..., None]
-    if ptex.flat.shape[0] <= MATMUL_FETCH_MAX_TEXELS:
+    import math as _math
+
+    lanes = int(_math.prod(uv.shape[:-1])) if uv.ndim > 1 else 1
+    if (
+        ptex.flat.shape[0] <= MATMUL_FETCH_MAX_TEXELS
+        and lanes * ptex.flat.shape[0] <= MATMUL_FETCH_MAX_ELEMS
+    ):
         return _matmul_fetch(ptex, li, ld, uv)
     val0 = _bilinear_fetch(ptex, li, uv)
     val1 = _bilinear_fetch(ptex, li + 1, uv)

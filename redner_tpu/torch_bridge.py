@@ -48,24 +48,39 @@ class TorchRenderer:
             def forward(ctx, scene_template, seed, *params):
                 jparams = tuple(jnp.asarray(p.detach().cpu().numpy())
                                 for p in params)
-                scene = outer.param_setter(scene_template, *jparams)
-
-                def f(*ps):
-                    s = outer.param_setter(scene_template, *ps)
-                    return render_fn(s, jnp.uint32(seed))
-
-                img, vjp_fn = jax.vjp(f, *jparams)
-                ctx._vjp_fn = vjp_fn
-                ctx._num_params = len(params)
-                return torch.from_numpy(np.asarray(img)).to(params[0].device)
+                # Keep only the small replay inputs on ctx — NOT the vjp
+                # closure, whose residual tree would pin device memory
+                # until backward runs (a training loop calling forward
+                # twice before backward would leak).  Backward re-renders,
+                # exactly like the reference (render_pytorch.py:1050).
+                ctx._template = scene_template
+                ctx._seed = seed
+                ctx._jparams = jparams
+                ctx._devices = [p.device for p in params]
+                img = render_fn(
+                    outer.param_setter(scene_template, *jparams),
+                    jnp.uint32(seed),
+                )
+                out = torch.from_numpy(np.asarray(img))
+                return out.to(params[0].device) if params else out
 
             @staticmethod
             def backward(ctx, grad_img):
                 g = jnp.asarray(grad_img.detach().cpu().numpy())
-                grads = ctx._vjp_fn(g)
+
+                def f(*ps):
+                    s = outer.param_setter(ctx._template, *ps)
+                    return render_fn(s, jnp.uint32(ctx._seed))
+
+                _, vjp_fn = jax.vjp(f, *ctx._jparams)
+                grads = vjp_fn(g)
                 outs = [None, None]
-                for gp in grads:
-                    outs.append(torch.from_numpy(np.asarray(gp).copy()))
+                for gp, dev in zip(grads, ctx._devices):
+                    # torch.autograd requires each gradient on its input's
+                    # device (CUDA params would otherwise be rejected).
+                    outs.append(
+                        torch.from_numpy(np.asarray(gp).copy()).to(dev)
+                    )
                 return tuple(outs)
 
         self._fn = _Fn

@@ -200,3 +200,53 @@ def test_alpha_edge_gradient_matches_fd():
     fd = (loss(eps) - loss(-eps)) / (2 * eps)
     assert abs(float(fd)) > 1.0  # coverage really changes
     assert jnp.allclose(g, fd, rtol=0.4), (float(g), float(fd))
+
+
+def test_clipped_triangle_edge_gradient_matches_fd():
+    """Primary-edge gradients for a triangle crossing the near plane: one
+    vertex far behind the camera, so its edges only partially project
+    (reference tests/test_single_triangle_clipped.py; near-plane clip
+    src/camera.h:563-590).  Round-1 dropped such edges entirely."""
+    opts = rt.RenderOptions(num_samples=16, max_bounces=1)
+
+    def make(tx):
+        cam = rt.make_camera(
+            position=[0.0, 0.0, -5.0], look_at=[0.0, 0.0, 0.0],
+            up=[0.0, 1.0, 0.0], fov=45.0, resolution=(16, 16),
+        )
+        verts = jnp.asarray(
+            [[-1.0, 1.5, 0.0], [1.2, 1.2, 0.0], [0.3, -0.8, -12.0]]
+        ) + jnp.stack([tx, jnp.asarray(0.0), jnp.asarray(0.0)])
+        tri = rt.make_shape(vertices=verts, indices=[[0, 1, 2]], material_id=0)
+        lv = [[-1.0, -1.0, -7.0], [1.0, -1.0, -7.0], [-1.0, 1.0, -7.0],
+              [1.0, 1.0, -7.0]]
+        light = rt.make_shape(vertices=lv, indices=[[0, 1, 2], [1, 3, 2]],
+                              material_id=0, light_id=0)
+        # The camera sees the clipped triangle's back face: two-sided.
+        mat = rt.make_material(diffuse_reflectance=[0.5, 0.5, 0.5],
+                               two_sided=True)
+        return rt.make_scene(
+            cam, [tri, light], [mat],
+            area_lights=[rt.make_area_light(1, [20.0, 20.0, 20.0])],
+        )
+
+    @jax.jit
+    def gfn(seed):
+        def loss(tx):
+            return jnp.sum(rt.render(make(tx), opts, seed=seed))
+        return jax.grad(loss)(0.0)
+
+    @jax.jit
+    def lfn(tx, seed):
+        return jnp.sum(rt.render_image(make(tx), opts, seed=seed))
+
+    g = np.mean([float(gfn(jnp.uint32(s))) for s in range(8)])
+    eps = 0.03
+    fd = np.mean([
+        (float(lfn(eps, jnp.uint32(s))) - float(lfn(-eps, jnp.uint32(s))))
+        / (2 * eps)
+        for s in range(8)
+    ])
+    assert np.isfinite(g)
+    assert abs(fd) > 0.5, fd
+    assert abs(g - fd) <= 0.35 * abs(fd), (g, fd)

