@@ -349,8 +349,15 @@ def secondary_edge_surrogate(
     nee_dir=None,
     dim_base: int = 100,
     bsdf_pdf_fn=None,
+    specular_dir=None,
+    specular_sigma=None,
+    specular_weight=None,
 ):
     """Surrogate scalar for secondary-edge gradients at shading points.
+
+    specular_dir/sigma/weight: (P, 3)/(P,)/(P,) mirror-reflection lobe for
+    the glossy RIS kernel (see kernel comment below); None = diffuse-only
+    importance.
 
     sp_position: (P, 3) differentiable shading-point positions.
     sp_wi:       (P, 3) incoming directions (toward the camera).
@@ -412,21 +419,43 @@ def secondary_edge_surrogate(
         p_sg[:, None, :],
     )  # (P, M)
 
-    # Importance: subtended arc length (chord of unit directions) times a
-    # NEE-proximity kernel — edges whose arc passes near the sampled light
-    # direction carry the shadow discontinuity (reference edge-NEE variant,
-    # src/edge.cpp:1239-1364).
+    # Importance: subtended arc length (chord of unit directions) times
+    # direction-proximity kernels — edges whose arc passes near the sampled
+    # NEE direction carry the shadow discontinuity (reference edge-NEE
+    # variant, src/edge.cpp:1239-1364), and edges near the mirror direction
+    # carry the glossy-reflection discontinuity (the LTC-importance role,
+    # src/edge.cpp:1403-1448 + src/ltc.inc; a Gaussian lobe around the
+    # reflected direction is the LTC-free RIS kernel — unbiasedness comes
+    # from the floor, the kernel only shapes variance).
     wa = vm.normalize(sg(a) - p_sg[:, None, :])
     wb = vm.normalize(sg(b) - p_sg[:, None, :])
     arc = vm.length(wb - wa)
-    if nee_dir is not None:
-        nd = sg(nee_dir)[:, None, :]
+
+    def _arc_d2(target):
+        """min squared-chord distance of the (wa, wb, mid) arc probes to a
+        unit target direction (..., 3)."""
         mid = vm.normalize(wa + wb)
-        d2 = jnp.minimum(
-            jnp.minimum(2.0 * (1.0 - vm.dot(wa, nd)), 2.0 * (1.0 - vm.dot(wb, nd))),
-            2.0 * (1.0 - vm.dot(mid, nd)),
+        return jnp.minimum(
+            jnp.minimum(
+                2.0 * (1.0 - vm.dot(wa, target)),
+                2.0 * (1.0 - vm.dot(wb, target)),
+            ),
+            2.0 * (1.0 - vm.dot(mid, target)),
         )
-        kernel = NEE_FLOOR + jnp.exp(-d2 / (2.0 * NEE_SIGMA * NEE_SIGMA))
+
+    if nee_dir is not None or specular_dir is not None:
+        kernel = jnp.full((P, RESAMPLE_M), NEE_FLOOR, dtype)
+        if nee_dir is not None:
+            d2 = _arc_d2(sg(nee_dir)[:, None, :])
+            kernel = kernel + jnp.exp(-d2 / (2.0 * NEE_SIGMA * NEE_SIGMA))
+        if specular_dir is not None:
+            d2s = _arc_d2(sg(specular_dir)[:, None, :])
+            sig2 = sg(
+                jnp.maximum(specular_sigma, 1e-3) ** 2
+            )[:, None]
+            kernel = kernel + sg(specular_weight)[:, None] * jnp.exp(
+                -d2s / (2.0 * sig2)
+            )
     else:
         kernel = 1.0
     # Avoid edges containing the shading point itself (self-intersection,
@@ -464,9 +493,15 @@ def secondary_edge_surrogate(
     tk = (jnp.arange(Kt, dtype=dtype)[None, :] + t_jit[:, None]) / Kt  # (P,Kt)
     xk = (1.0 - tk)[..., None] * sg(av)[:, None, :] + tk[..., None] * sg(bv)[:, None, :]
     wk_dir = vm.normalize(xk - p_sg[:, None, :])
-    if nee_dir is not None:
-        d2k = 2.0 * (1.0 - vm.dot(wk_dir, sg(nee_dir)[:, None, :]))
-        wt = NEE_FLOOR + jnp.exp(-d2k / (2.0 * NEE_SIGMA * NEE_SIGMA))
+    if nee_dir is not None or specular_dir is not None:
+        wt = jnp.full((P, Kt), NEE_FLOOR, dtype)
+        if nee_dir is not None:
+            d2k = 2.0 * (1.0 - vm.dot(wk_dir, sg(nee_dir)[:, None, :]))
+            wt = wt + jnp.exp(-d2k / (2.0 * NEE_SIGMA * NEE_SIGMA))
+        if specular_dir is not None:
+            d2ks = 2.0 * (1.0 - vm.dot(wk_dir, sg(specular_dir)[:, None, :]))
+            sig2 = sg(jnp.maximum(specular_sigma, 1e-3) ** 2)[:, None]
+            wt = wt + sg(specular_weight)[:, None] * jnp.exp(-d2ks / (2.0 * sig2))
     else:
         wt = jnp.ones((P, Kt), dtype)
     wt_sum = jnp.sum(wt, axis=-1)

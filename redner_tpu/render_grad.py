@@ -25,7 +25,7 @@ from redner_tpu import sampler as sampler_mod
 from redner_tpu.camera import sample_primary_rays
 from redner_tpu.core import vecmath as vm
 from redner_tpu.edge import primary_edge_gradients, secondary_edge_surrogate
-from redner_tpu.material import bsdf, bsdf_pdf
+from redner_tpu.material import bsdf, bsdf_pdf, perturb_shading_frame
 from redner_tpu.render import (RenderOptions, render_image, render_sample,
                                trace_radiance)
 from redner_tpu.scene import (FlatScene, fetch_local_material, flatten_scene,
@@ -123,13 +123,36 @@ def _secondary_surrogate_all_samples(scene, options, seed, d_radiance_flat):
             def bsdf_pdf_eval(wo, lm=lm, sp=sp, wi=wi, min_rough=min_rough):
                 return bsdf_pdf(lm, sp, wi, wo, min_rough)
 
+            # Glossy importance: a mirror-reflection lobe steers the RIS
+            # kernel so specular receivers sample the edges their lobe can
+            # see (the reference's LTC-component selection role,
+            # src/edge.cpp:1403-1448).
+            sgd = jax.lax.stop_gradient
+            _, _, pn = perturb_shading_frame(lm, sp)
+            refl = sgd(2.0 * vm.vdot(wi, pn) * pn - wi)
+            spec_sigma = sgd(jnp.clip(
+                jnp.sqrt(jnp.maximum(lm.roughness, 1e-6)), 0.03, 1.0
+            ))
+            lum = jnp.asarray([0.2126, 0.7152, 0.0722])
+            l_spec = jnp.sum(lm.specular * lum, axis=-1)
+            l_diff = jnp.sum(lm.diffuse * lum, axis=-1)
+            spec_weight = sgd(l_spec / jnp.maximum(l_spec + l_diff, 1e-8))
+
+            # Reference variance control: paths already diffuse-ized by a
+            # rough bounce skip secondary edge sampling entirely
+            # (min_rough > 1e-2 skip, src/edge.cpp:1396-1401).
+            sec_active = active & (min_rough <= 1e-2)
+
             d_pix = jax.lax.stop_gradient(throughput) * d_radiance_flat
             total = total + secondary_edge_surrogate(
                 fs, options, seed, sample_id,
                 sp.position, wi, bsdf_eval, trace_radiance,
-                d_pix, active, nee_dir=nee_dir,
+                d_pix, sec_active, nee_dir=nee_dir,
                 dim_base=100 + 32 * bounce,
                 bsdf_pdf_fn=bsdf_pdf_eval,
+                specular_dir=refl,
+                specular_sigma=spec_sigma,
+                specular_weight=spec_weight,
             )
             if bounce + 1 >= options.max_bounces:
                 break

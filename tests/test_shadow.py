@@ -39,10 +39,11 @@ _W = (
 _KEYS = ("blocker", "receiver", "light", "camera")
 
 
-def _shadow_scene(t4, res=RES):
+def _shadow_scene(t4, res=RES, glossy=False):
     """Floor (receiver) + raised quad (blocker) + area light above; every
     component x-translated by its t4 entry (reference scene layout,
-    tests/test_shadow_blocker.py:20-60)."""
+    tests/test_shadow_blocker.py:20-60).  glossy=True makes the receiver a
+    low-roughness specular surface (reference test_shadow_glossy)."""
     cam = rt.make_camera(
         position=jnp.stack([t4[3], jnp.asarray(3.0), jnp.asarray(-6.0)]),
         look_at=jnp.asarray([0.0, 0.0, 0.0]),
@@ -78,7 +79,14 @@ def _shadow_scene(t4, res=RES):
         material_id=0,
         light_id=0,
     )
-    mat = rt.make_material(diffuse_reflectance=[0.5, 0.5, 0.5])
+    if glossy:
+        mat = rt.make_material(
+            diffuse_reflectance=[0.08, 0.08, 0.08],
+            specular_reflectance=[0.6, 0.6, 0.6],
+            roughness=[0.05],
+        )
+    else:
+        mat = rt.make_material(diffuse_reflectance=[0.5, 0.5, 0.5])
     return rt.make_scene(
         cam, [floor, blocker, light], [mat],
         area_lights=[rt.make_area_light(2, [30.0, 30.0, 30.0])],
@@ -202,3 +210,30 @@ def test_shadow_blocker_recovery():
         updates, state = opt.update(g, state)
         t = optax.apply_updates(t, updates)
     assert abs(float(t)) < 0.1, float(t)
+
+
+def test_shadow_glossy_receiver_gradient_matches_fd():
+    """Blocker gradient on a LOW-ROUGHNESS specular receiver (reference
+    test_shadow_glossy): the glossy RIS kernel (mirror-lobe importance,
+    the LTC role) must keep the estimator usable at a sample budget within
+    4x of the diffuse ladder's (VERDICT r1 item 4)."""
+
+    def loss(t, options, seed):
+        t4 = jnp.zeros(4).at[0].set(t)
+        img = rt.render(_shadow_scene(t4, glossy=True), options, seed=seed)
+        return jnp.sum(_W * img)
+
+    gfn = jax.jit(lambda seed: jax.grad(loss)(0.0, _OPTS, seed))
+    lfn = jax.jit(lambda t, seed: loss(t, _OPTS_FD, seed))
+
+    n_g, n_fd = 96, 48  # 2x the diffuse ladder (48/24): within the 4x cap
+    g = np.mean([float(gfn(jnp.uint32(s))) for s in range(n_g)])
+    eps = 0.1
+    fd = np.mean([
+        (float(lfn(eps, jnp.uint32(s))) - float(lfn(-eps, jnp.uint32(s))))
+        / (2 * eps)
+        for s in range(n_fd)
+    ])
+    assert np.isfinite(g)
+    assert abs(fd) > 0.5, fd
+    assert abs(g - fd) <= 0.4 * abs(fd), (g, fd)
