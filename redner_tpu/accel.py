@@ -6,16 +6,20 @@ This is the TPU replacement for the reference's Embree/OptiX-Prime backends
 (tri_id, shape_id) records that the renderer treats as non-differentiable;
 the differentiable surface point is re-derived from the winning triangle.
 
-Two engines behind one interface:
+Three engines behind one interface:
   * brute force — a chunked triangle sweep, fully vectorized.  O(rays x tris)
     but extremely regular; on TPU this is compute the VPU does well, and for
     scenes up to a few thousand triangles it beats divergent traversal.
-  * LBVH traversal (redner_tpu.ops.bvh) — Morton/Karras radix LBVH built in
-    pure JAX with a masked stackless traversal loop (and a Pallas kernel for
-    the hot path), used for larger scenes.
+  * fused sweeps (redner_tpu.ops.pallas_intersect on TPU,
+    redner_tpu.ops.intersect MXU matmul elsewhere) — the default engines up
+    to MM_MAX_TRIS.
+  * Morton-clustered culling (redner_tpu.ops.cluster) — a flat two-level
+    hierarchy (cluster AABB slab test, then per-cluster sweep) for larger
+    scenes; hierarchical but branch-free, unlike a divergent pointer-chasing
+    BVH which maps poorly onto the VPU.
 
-`intersect` dispatches on triangle count; `occluded` is the any-hit variant
-with early-out semantics expressed as masked min.
+`intersect` dispatches on triangle count and backend; `occluded` is the
+any-hit variant with early-out semantics expressed as masked min.
 """
 
 from __future__ import annotations

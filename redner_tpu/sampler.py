@@ -116,12 +116,18 @@ class DimAllocator:
 # ----------------------------------------------------------------------
 # Scrambled Sobol (QMC) — reference src/sobol_sampler.cpp + sobol.inc.
 #
-# Direction numbers are *generated* from the classic primitive-polynomial
-# table (Joe & Kuo initial values for the first dimensions) instead of
-# vendoring a 53k-line matrix include; dimensions beyond the table fall
-# back to the decorrelated hash (padded-Sobol construction — padding deep
-# dimensions with independent samples preserves unbiasedness and loses
-# nothing measurable past the first dozen dims).
+# Direction numbers are *generated* instead of vendoring the reference's
+# 53k-line matrix include (src/sobol.inc):
+#   * dims 1-20 use the classic Joe-Kuo initial values (projection-optimised
+#     — these are the dims that matter most: camera/first-bounce),
+#   * dims 21-63 are generated at import time from brute-force-enumerated
+#     primitive polynomials over GF(2) with deterministic odd initial
+#     direction numbers.  ANY m_j odd and < 2^j yields a nonsingular
+#     upper-triangular generator matrix, hence perfect 1D stratification of
+#     every dyadic prefix; Owen scrambling supplies the cross-dimension
+#     decorrelation the Joe-Kuo search would otherwise optimise.
+# Dimensions beyond the table fall back to the decorrelated hash
+# (padded-Sobol construction — preserves unbiasedness).
 # ----------------------------------------------------------------------
 
 # (s, a, [m...]) per dimension >= 1; dimension 0 is van der Corput.
@@ -147,8 +153,75 @@ _JOE_KUO = [
     (7, 1, [1, 3, 7, 11, 23, 15, 103]),
     (7, 4, [1, 3, 7, 13, 13, 15, 69]),
 ]
-SOBOL_TABLE_DIMS = len(_JOE_KUO) + 1  # + van der Corput dim 0
+SOBOL_TABLE_DIMS = 64  # covers the 7-dims-per-bounce schedule to 8 bounces
 _SOBOL_BITS = 32
+
+
+def _gf2_mulmod(x: int, y: int, p: int, s: int) -> int:
+    """Multiply GF(2) polynomials x*y modulo p (degree s)."""
+    r = 0
+    while y:
+        if y & 1:
+            r ^= x
+        y >>= 1
+        x <<= 1
+    while r.bit_length() > s:
+        r ^= p << (r.bit_length() - 1 - s)
+    return r
+
+
+def _gf2_powmod(base: int, e: int, p: int, s: int) -> int:
+    r = 1
+    while e:
+        if e & 1:
+            r = _gf2_mulmod(r, base, p, s)
+        base = _gf2_mulmod(base, base, p, s)
+        e >>= 1
+    return r
+
+
+def _prime_factors(n: int):
+    out, d = [], 2
+    while d * d <= n:
+        if n % d == 0:
+            out.append(d)
+            while n % d == 0:
+                n //= d
+        d += 1
+    if n > 1:
+        out.append(n)
+    return out
+
+
+def _is_primitive(s: int, a: int) -> bool:
+    """Is x^s + a_1 x^{s-1} + ... + a_{s-1} x + 1 primitive over GF(2)?
+    `a` packs the interior coefficients a_1..a_{s-1} (Joe-Kuo encoding)."""
+    p = (1 << s) | (a << 1) | 1
+    n = (1 << s) - 1
+    if n == 1:
+        return True  # x + 1
+    if _gf2_powmod(2, n, p, s) != 1:  # 2 encodes the polynomial `x`
+        return False
+    return all(_gf2_powmod(2, n // q, p, s) != 1 for q in _prime_factors(n))
+
+
+def _generated_entries(n_extra: int):
+    """(s, a, [m...]) rows for dims beyond the Joe-Kuo table: fresh primitive
+    polynomials in (degree, a) order + deterministic odd initial values."""
+    used = {(s, a) for (s, a, _) in _JOE_KUO}
+    rng = np.random.RandomState(0x5EED)
+    out, s = [], 1
+    while len(out) < n_extra:
+        for a in range(1 << max(s - 1, 0)):
+            if (s, a) in used or not _is_primitive(s, a):
+                continue
+            used.add((s, a))
+            m = [2 * int(rng.randint(0, 1 << j)) + 1 for j in range(s)]
+            out.append((s, a, m))
+            if len(out) == n_extra:
+                break
+        s += 1
+    return out
 
 
 def _build_sobol_matrices() -> np.ndarray:
@@ -158,7 +231,8 @@ def _build_sobol_matrices() -> np.ndarray:
     # Dimension 0: van der Corput — v_j = 1 << (31 - j).
     for j in range(_SOBOL_BITS):
         V[0, j] = np.uint32(1) << np.uint32(31 - j)
-    for d, (s, a, m_init) in enumerate(_JOE_KUO, start=1):
+    entries = _JOE_KUO + _generated_entries(dims - 1 - len(_JOE_KUO))
+    for d, (s, a, m_init) in enumerate(entries, start=1):
         m = list(m_init)
         for j in range(s, _SOBOL_BITS):
             # Recurrence: m_j = 2^s m_{j-s} ^ m_{j-s} ^ XOR_k a_k 2^k m_{j-k}
