@@ -162,6 +162,28 @@ def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def build_accel_cache(fs):
+    """Engine-matched acceleration tables, built ONCE per flatten.
+
+    The reference builds its BVH once per render (src/scene.cpp:86-155);
+    building inside every intersect call would re-run the Morton sort /
+    coefficient packing twice per bounce per sample inside the scan body.
+    Returns a dict of stop-gradiented arrays keyed by engine, stored on
+    FlatScene.accel_cache; engines fall back to inline builds when absent.
+    """
+    if fs.num_triangles <= MM_MAX_TRIS:
+        if _on_tpu():
+            from redner_tpu.ops.pallas_intersect import build_coeff_layout
+
+            return build_coeff_layout(fs)
+        from redner_tpu.ops.intersect import build_coeff_table
+
+        return build_coeff_table(fs)
+    from redner_tpu.ops.cluster import build_cluster_cache
+
+    return build_cluster_cache(fs)
+
+
 def intersect(fs, ray: Ray) -> Intersection:
     """Closest-hit dispatch: fused Pallas sweep on TPU, MXU matmul sweep
     elsewhere; Morton-clustered culling for large scenes."""

@@ -100,6 +100,33 @@ def build_clusters(fs):
     }
 
 
+def build_cluster_cache(fs):
+    """Per-flatten cache for the clustered engine (arrays only — C/K are
+    recovered from the T block's shape at use time)."""
+    cl = build_clusters(fs)
+    return {
+        "cl_order": cl["order"],
+        "cl_min": cl["cl_min"],
+        "cl_max": cl["cl_max"],
+        "cl_T": cl["T"],
+    }
+
+
+def _clusters(fs):
+    cache = getattr(fs, "accel_cache", None)
+    if cache is not None and "cl_T" in cache:
+        T = cache["cl_T"]
+        return {
+            "order": cache["cl_order"],
+            "cl_min": cache["cl_min"],
+            "cl_max": cache["cl_max"],
+            "T": T,
+            "C": T.shape[0],
+            "K": T.shape[1],
+        }
+    return build_clusters(fs)
+
+
 def _slab_hits(org, inv_d, tmin, tmax, cl_min, cl_max):
     """(R, C) bool: ray-AABB overlap within [tmin, tmax]."""
     t0 = (cl_min[None] - org[:, None]) * inv_d[:, None]  # (R, C, 3)
@@ -151,7 +178,7 @@ def _pair_hit_terms(R_feat, T_block, tmin, tmax, eps):
 
 
 def _prepare(fs, ray: Ray):
-    cl = build_clusters(fs)
+    cl = _clusters(fs)
     org = ray.org.reshape(-1, 3)
     d = ray.dir.reshape(-1, 3)
     tmin = ray.tmin.reshape(-1)

@@ -72,6 +72,23 @@ def ray_features(org, d):
     return jnp.concatenate([d, jnp.cross(d, org), org, one], axis=-1)
 
 
+def build_coeff_table(fs):
+    """Per-flatten cache for the matmul engines: the (F, 10, 4) coefficient
+    blocks, so the scan body doesn't regather/recompute them per call."""
+    sgv = jax.lax.stop_gradient(fs.vertices)
+    f = fs.faces
+    return {
+        "mm_T": triangle_coefficients(sgv[f[:, 0]], sgv[f[:, 1]], sgv[f[:, 2]])
+    }
+
+
+def _coeff_table(fs):
+    cache = getattr(fs, "accel_cache", None)
+    if cache is not None and "mm_T" in cache:
+        return cache["mm_T"]
+    return build_coeff_table(fs)["mm_T"]
+
+
 def _pair_terms(R, T):
     """(N, C, 4) = (det, u_num, v_num, t_num) for every pair, via the MXU."""
     C = T.shape[0]
@@ -119,9 +136,7 @@ def intersect_mm(fs, ray: Ray) -> Intersection:
     live = jnp.sum(d * d, axis=-1) > 0
     eps = jnp.asarray(1e-8, org.dtype)
 
-    sgv = jax.lax.stop_gradient(fs.vertices)
-    f = fs.faces
-    T_all = triangle_coefficients(sgv[f[:, 0]], sgv[f[:, 1]], sgv[f[:, 2]])
+    T_all = _coeff_table(fs)
 
     chunk = min(TRI_CHUNK, F)
     num_chunks = (F + chunk - 1) // chunk
@@ -165,9 +180,7 @@ def occluded_mm(fs, ray: Ray) -> jnp.ndarray:
     live = jnp.sum(d * d, axis=-1) > 0
     eps = jnp.asarray(1e-8, org.dtype)
 
-    sgv = jax.lax.stop_gradient(fs.vertices)
-    f = fs.faces
-    T_all = triangle_coefficients(sgv[f[:, 0]], sgv[f[:, 1]], sgv[f[:, 2]])
+    T_all = _coeff_table(fs)
     chunk = min(TRI_CHUNK, F)
     num_chunks = (F + chunk - 1) // chunk
     R = ray_features(org, d)

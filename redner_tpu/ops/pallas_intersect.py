@@ -115,7 +115,26 @@ def _anyhit_body(R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref):
     blocked_ref[:] = jnp.maximum(blocked_ref[:], any_hit)
 
 
+def build_coeff_layout(fs):
+    """Per-flatten cache for the Pallas engine (see accel.build_accel_cache)."""
+    T, idx, cl_min, cl_max = _coeff_layout_build(fs)
+    return {
+        "pallas_T": T,
+        "pallas_idx": idx,
+        "pallas_cl_min": cl_min,
+        "pallas_cl_max": cl_max,
+    }
+
+
 def _coeff_layout(fs):
+    cache = getattr(fs, "accel_cache", None)
+    if cache is not None and "pallas_T" in cache:
+        return (cache["pallas_T"], cache["pallas_idx"],
+                cache["pallas_cl_min"], cache["pallas_cl_max"])
+    return _coeff_layout_build(fs)
+
+
+def _coeff_layout_build(fs):
     """Morton-ordered (num_chunks, 10, 4*CHUNK) coefficient blocks plus
     per-chunk AABBs (for tile-level culling) and the sorted tri-id map.
 

@@ -121,6 +121,13 @@ class FlatScene:
     shape_face_offsets: Tuple[int, ...] = struct.field(pytree_node=False)
     shape_vertex_offsets: Tuple[int, ...] = struct.field(pytree_node=False)
 
+    # Ray-casting acceleration tables, built ONCE per flatten
+    # (accel.build_accel_cache) instead of inside every intersect call in
+    # the bounce scan — the reference builds its BVH once per render too
+    # (src/scene.cpp:86-155).  Dict of stop-gradiented arrays (a pytree
+    # node); None before build, engines fall back to building inline.
+    accel_cache: Optional[dict] = None
+
     @property
     def num_triangles(self):
         return self.faces.shape[0]
@@ -275,7 +282,7 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> FlatScene:
     light_pmf = sg(power / total_power)
     light_cdf = sg(jnp.cumsum(light_pmf) - light_pmf)
 
-    return FlatScene(
+    fs = FlatScene(
         vertices=verts,
         faces=faces,
         face_shape_id=face_shape_id,
@@ -312,6 +319,9 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> FlatScene:
         shape_face_offsets=tuple(f_off),
         shape_vertex_offsets=tuple(v_off),
     )
+    from redner_tpu import accel
+
+    return fs.replace(accel_cache=accel.build_accel_cache(fs))
 
 
 # ------------------------------------------------------------------
