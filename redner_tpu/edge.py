@@ -177,8 +177,15 @@ def primary_edge_gradients(
     seed,
     d_image,
     num_edge_samples: int,
+    lane_sharding=None,
 ):
     """Gradient contribution of primary (screen-space) silhouette edges.
+
+    lane_sharding: optional jax.sharding.Sharding for the (N, k) edge-sample
+    lanes — edge samples are lane-indexed and embarrassingly parallel, so a
+    constraint on the sample uniforms lets GSPMD split the offset-ray pair
+    evaluations over the device mesh (the scene/edge tables replicate and
+    the surrogate sum psums automatically).
 
     d_image: (vh, vw, C) adjoint of the FULL channel image — every channel
     (radiance, alpha, depth, normals, albedo AOVs...) jumps across
@@ -266,6 +273,8 @@ def primary_edge_gradients(
     eids = jnp.arange(N, dtype=jnp.int32)
     edge_seed = seed + sampler_mod.EDGE_SEED_OFFSET
     u = sampler_mod.uniforms(edge_seed, eids, 0, 0, 2)
+    if lane_sharding is not None:
+        u = jax.lax.with_sharding_constraint(u, lane_sharding)
     sel = jnp.clip(
         jnp.searchsorted(sg(cdf), u[:, 0], side="right") - 1, 0, cdf.shape[0] - 1
     )

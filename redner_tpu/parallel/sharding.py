@@ -63,15 +63,39 @@ def render_image_sharded(
     )
 
 
+def render_sharded(
+    scene: Scene,
+    options: RenderOptions,
+    seed=0,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = PIXEL_AXIS,
+) -> jnp.ndarray:
+    """Edge-sampled differentiable render (rt.render) with the pixel AND
+    edge-sample lanes sharded over the mesh — the full visibility-gradient
+    path runs SPMD, not just the AD re-render."""
+    from redner_tpu.render_grad import render
+
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+    return render(
+        scene, options, seed=seed,
+        pixel_sharding=pixel_sharding(mesh, axis_name),
+    )
+
+
 def make_train_step(options: RenderOptions, mesh: Optional[Mesh] = None,
                     axis_name: str = PIXEL_AXIS, learning_rate: float = 1e-2,
-                    trainable=None):
+                    trainable=None, use_edge_sampling: bool = True):
     """A jitted SPMD training step: render -> L2 loss vs target -> grad ->
     SGD update on float leaves of the scene.
 
     This is the multi-chip training-step shape the reference exercises with
     its Adam loops (tests/test_single_triangle.py:87-170), sharded over the
     pixel axis.  Returns step(scene, target, seed) -> (scene', loss).
+
+    use_edge_sampling=True (default) routes through the edge-sampled
+    custom_vjp `render`, so visibility gradients are computed SPMD too;
+    False uses plain AD (`render_image`) — continuous gradients only.
 
     trainable: optional predicate `path_str -> bool` selecting which leaves
     to update (e.g. `lambda p: 'diffuse' in p`).  Default updates every
@@ -82,9 +106,19 @@ def make_train_step(options: RenderOptions, mesh: Optional[Mesh] = None,
         mesh = make_mesh(axis_name=axis_name)
     sharding = pixel_sharding(mesh, axis_name)
 
-    def loss_fn(scene, target, seed):
-        img = render_image(scene, options, seed=seed, pixel_sharding=sharding)
-        return jnp.mean((img - target) ** 2)
+    if use_edge_sampling:
+        from redner_tpu.render_grad import make_render
+
+        edge_render = make_render(options, pixel_sharding=sharding)
+
+        def loss_fn(scene, target, seed):
+            img = edge_render(scene, jnp.asarray(seed, jnp.uint32))
+            return jnp.mean((img - target) ** 2)
+    else:
+        def loss_fn(scene, target, seed):
+            img = render_image(scene, options, seed=seed,
+                               pixel_sharding=sharding)
+            return jnp.mean((img - target) ** 2)
 
     from redner_tpu.serialize import _path_str
 

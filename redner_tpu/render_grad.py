@@ -55,13 +55,19 @@ def _tree_add(a, b):
     return jax.tree_util.tree_map(add, a, b)
 
 
-def _secondary_surrogate_all_samples(scene, options, seed, d_radiance_flat):
+def _secondary_surrogate_all_samples(scene, options, seed, d_radiance_flat,
+                                     pixel_sharding=None):
     """Sum of secondary-edge surrogates over the sample loop.
 
     Replays the camera rays of each forward sample (same RNG), builds the
     primary shading points *differentiably*, and emits the surrogate whose
     gradient carries silhouette-edge terms to vertices and — through the
     shading-point chain — to everything the primary hit depends on.
+
+    pixel_sharding: optional sharding for the per-pixel lane axis — the
+    replay is per-pixel SPMD exactly like the forward wavefront, so one
+    constraint on the camera jitter shards the whole bounce loop (RIS
+    candidates are drawn per shading point; the scene replicates).
     """
     fs = flatten_scene(scene)
     camera = scene.camera
@@ -88,6 +94,8 @@ def _secondary_surrogate_all_samples(scene, options, seed, d_radiance_flat):
             jitter = sampler_mod.draw(
                 options.sampler_type, seed, pixel_ids, sample_id, 0, 2
             )
+        if pixel_sharding is not None:
+            jitter = jax.lax.with_sharding_constraint(jitter, pixel_sharding)
         ray, ray_diff = sample_primary_rays(camera, jitter)
         isect = accel.intersect(fs, ray)
         sp, ray_diff = _surface_point_at(fs, isect, ray, ray_diff)
@@ -202,15 +210,22 @@ def _secondary_surrogate_all_samples(scene, options, seed, d_radiance_flat):
     return total / options.num_samples
 
 
-def make_render(options: RenderOptions):
-    """Build the custom_vjp render function for a static RenderOptions."""
+def make_render(options: RenderOptions, pixel_sharding=None):
+    """Build the custom_vjp render function for a static RenderOptions.
+
+    pixel_sharding: optional jax.sharding.Sharding splitting the per-pixel
+    lane axis over a device mesh.  Applies to the forward wavefront, the AD
+    re-render, the secondary-edge replay, AND the primary-edge sample lanes
+    — the full edge-sampled gradient path runs SPMD (SURVEY §2.3 item 9)."""
 
     @jax.custom_vjp
     def _render(scene, seed):
-        return render_image(scene, options, seed=seed)
+        return render_image(scene, options, seed=seed,
+                            pixel_sharding=pixel_sharding)
 
     def _fwd(scene, seed):
-        img = render_image(scene, options, seed=seed)
+        img = render_image(scene, options, seed=seed,
+                           pixel_sharding=pixel_sharding)
         return img, (scene, seed)
 
     # Backward pass uses its own sample count (reference num_samples[1],
@@ -229,7 +244,9 @@ def make_render(options: RenderOptions):
 
         # --- 1. continuous gradients (AD re-render) ---
         _, vjp_fn = jax.vjp(
-            lambda s: render_image(s, options_b, seed=seed_b), scene
+            lambda s: render_image(s, options_b, seed=seed_b,
+                                   pixel_sharding=pixel_sharding),
+            scene,
         )
         (d_scene,) = vjp_fn(ct_img)
 
@@ -257,11 +274,13 @@ def make_render(options: RenderOptions):
                     out = out + primary_edge_gradients(
                         s, flatten_scene, render_sample, options_b,
                         seed_b, ct_img, num_edge_samples,
+                        lane_sharding=pixel_sharding,
                     )
                 if options.use_secondary_edge_sampling and roff >= 0:
                     d_flat = d_radiance.reshape(-1, 3)
                     out = out + _secondary_surrogate_all_samples(
-                        s, options_b, seed_b, d_flat
+                        s, options_b, seed_b, d_flat,
+                        pixel_sharding=pixel_sharding,
                     )
                 return out
 
@@ -284,16 +303,19 @@ def make_render(options: RenderOptions):
 _render_cache = {}
 
 
-def render(scene, options: RenderOptions, seed=0):
+def render(scene, options: RenderOptions, seed=0, pixel_sharding=None):
     """Differentiable render with edge-sampled visibility gradients.
 
     The pyredner-equivalent entry point (RenderFunction.apply).  `options`
-    is static; compiled renderers are cached per options value and the
-    call is jitted (eager call sites reuse the compiled executable).
+    is static; compiled renderers are cached per (options, sharding) value
+    and the call is jitted (eager call sites reuse the compiled
+    executable).  Pass pixel_sharding (e.g. parallel.sharding.
+    pixel_sharding(mesh)) to run forward AND edge-sampled gradients SPMD
+    over the device mesh.
     """
-    key = options
+    key = (options, pixel_sharding)
     fn = _render_cache.get(key)
     if fn is None:
-        fn = jax.jit(make_render(options))
+        fn = jax.jit(make_render(options, pixel_sharding=pixel_sharding))
         _render_cache[key] = fn
     return fn(scene, jnp.asarray(seed, jnp.uint32))
