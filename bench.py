@@ -1,8 +1,11 @@
 """Headline benchmark: forward+backward differentiable render throughput.
 
-Config mirrors BASELINE.json's target: ~2.4k-triangle mesh, 256x256, 4 spp,
-1 bounce, forward + full scene-gradient backward.  Prints ONE JSON line:
-{"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}.
+Config is BASELINE.json's named target scene: the reference's OWN teapot
+asset (/root/reference/tutorials/teapot.obj, 15.7k triangles), 256x256,
+4 spp, 1 bounce, forward + full scene-gradient backward.  Prints ONE JSON
+line: {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}.
+(bench_scenes.py runs the wider scene ladder, incl. the >16k-tri cluster
+engine.)
 
 "rays" counts actual traced rays per pixel-sample: 1 primary + per bounce
 (1 NEE shadow + 1 BSDF continuation) = 3 at max_bounces=1, matching how the
@@ -23,14 +26,42 @@ import jax
 import jax.numpy as jnp
 
 
+TEAPOT_OBJ = "/root/reference/tutorials/teapot.obj"
+
+
+def teapot_scene(res=(256, 256)):
+    """BASELINE.json's named scene: the reference teapot (15,704 tris),
+    auto-framed camera, one quad key light, constant 0.5 diffuse (the
+    shipped teapot.png is near-black — the tutorials optimize it)."""
+    import numpy as np
+
+    import redner_tpu as rt
+
+    objs = rt.load_obj(TEAPOT_OBJ, return_objects=True)
+    cam = rt.automatic_camera_placement(objs, resolution=res)
+    for o in objs:
+        o.material = rt.make_material(
+            diffuse_reflectance=jnp.asarray([0.5, 0.5, 0.5]),
+            specular_reflectance=jnp.asarray([0.2, 0.2, 0.2]),
+            roughness=jnp.asarray([0.05]),
+        )
+    light = rt.generate_quad_light(
+        position=np.asarray(cam.position) + np.asarray([0.0, 120.0, 0.0],
+                                                       np.float32),
+        look_at=np.asarray(cam.look_at),
+        size=[80.0, 80.0],
+        intensity=[60.0, 60.0, 60.0],
+    )
+    return rt.scene_from_objects(cam, objs + [light])
+
+
 def main():
     import redner_tpu as rt
-    from __graft_entry__ import _flagship_scene
 
     res = (256, 256)
     spp = 4
     max_bounces = 1
-    scene = _flagship_scene(res=res, n_seg=24)  # 24 segs -> 2304 tris + floor+light
+    scene = teapot_scene(res=res)
     options = rt.RenderOptions(num_samples=spp, max_bounces=max_bounces)
 
     def loss(scene):
@@ -66,10 +97,12 @@ def main():
     rays = num_pixels * spp * rays_per_sample
     rays_per_s = rays / dt
 
+    ntris = sum(int(s.indices.shape[0]) for s in scene.shapes)
     print(
         json.dumps(
             {
-                "metric": "fwd+bwd rays/s/chip (2.3k tris, 256x256, 4spp, 1 bounce)",
+                "metric": f"fwd+bwd rays/s/chip (teapot {ntris} tris, "
+                          f"{res[0]}x{res[1]}, {spp}spp, {max_bounces} bounce)",
                 "value": round(rays_per_s),
                 "unit": "rays/s",
                 "vs_baseline": None,

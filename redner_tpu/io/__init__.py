@@ -17,7 +17,7 @@ __all__ = [
 ]
 
 
-def load_mitsuba(filename):
+def load_mitsuba(filename, **kwargs):
     from redner_tpu.io.mitsuba import load_mitsuba as _lm
 
-    return _lm(filename)
+    return _lm(filename, **kwargs)

@@ -87,7 +87,10 @@ def generate_quad_light(position, look_at, size, intensity,
             position + hx * x + hy * y,
         ]
     )
-    indices = jnp.asarray([[0, 2, 1], [1, 2, 3]], jnp.int32)
+    # Winding so the geometric normal (cross of the edges) points toward
+    # look_at — one-sided emission must face the target (this matches the
+    # reference's index order, pyredner/utils.py:196-197).
+    indices = jnp.asarray([[0, 1, 2], [1, 3, 2]], jnp.int32)
     mat = make_material(diffuse_reflectance=jnp.zeros((3,), dtype))
     return Object(
         vertices=verts,

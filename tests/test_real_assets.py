@@ -1,0 +1,168 @@
+"""Real-asset ladder: the reference's own teapot / bunny-box / cbox assets
+through the full pipeline (VERDICT r1 item 3 — loaders and large-scene
+engines exercised on real data, matching tests/test_teapot_reflectance.py
+and tests/test_bunny_box.py roles).
+
+All scenes render at reduced resolution on CPU; assertions are
+finiteness + signal presence + a small reflectance recovery (full-res
+throughput is bench territory, not test territory).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import redner_tpu as rt
+
+_SCENES = "/root/reference/tests/scenes"
+_TEAPOT = "/root/reference/tutorials/teapot.obj"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_SCENES), reason="reference assets not mounted"
+)
+
+
+def _teapot_scene(res=(32, 32), diffuse=(0.5, 0.5, 0.5)):
+    objs = rt.load_obj(_TEAPOT, return_objects=True)
+    cam = rt.automatic_camera_placement(objs, resolution=res)
+    if diffuse is not None:
+        # The shipped teapot.png is near-black (the tutorials *optimize*
+        # it); reference test_teapot_reflectance also swaps the material.
+        diffuse = jnp.asarray(diffuse, jnp.float32)
+        for o in objs:
+            o.material = rt.make_material(diffuse_reflectance=diffuse)
+    # Key light above the camera, facing the teapot.
+    pos = np.asarray(cam.position) + np.asarray([0.0, 120.0, 0.0], np.float32)
+    light = rt.generate_quad_light(
+        position=pos, look_at=np.asarray(cam.look_at),
+        size=[80.0, 80.0], intensity=[60.0, 60.0, 60.0],
+    )
+    return rt.scene_from_objects(cam, objs + [light])
+
+
+def test_teapot_forward_and_gradients():
+    """15.7k-triangle teapot OBJ: forward render has signal, vertex and
+    reflectance gradients are finite and nonzero."""
+    scene = _teapot_scene()
+    opts = rt.RenderOptions(num_samples=2, max_bounces=1)
+    img = rt.render_image(scene, opts, seed=3)
+    assert jnp.isfinite(img).all()
+    assert float(img.max()) > 0.05, float(img.max())
+
+    v0 = scene.shapes[0].vertices
+
+    def loss_v(v):
+        s = scene.replace(
+            shapes=(scene.shapes[0].replace(vertices=v),) + scene.shapes[1:]
+        )
+        return jnp.sum(rt.render_image(s, opts, seed=3))
+
+    g = jax.jit(jax.grad(loss_v))(v0)
+    assert jnp.isfinite(g).all()
+    assert float(jnp.abs(g).max()) > 0
+
+    def loss_m(d):
+        mats = tuple(
+            rt.make_material(diffuse_reflectance=d)
+            if i == 0 else m
+            for i, m in enumerate(scene.materials)
+        )
+        return jnp.sum(rt.render_image(scene.replace(materials=mats), opts,
+                                       seed=3))
+
+    gd = jax.jit(jax.grad(loss_m))(jnp.asarray([0.5, 0.5, 0.5]))
+    assert jnp.isfinite(gd).all()
+    assert float(jnp.abs(gd).max()) > 0
+
+
+def test_teapot_reflectance_recovery():
+    """Adam recovery of the teapot diffuse albedo from a rendered target
+    (reference tests/test_teapot_reflectance.py role, edge-sampled path)."""
+    import optax
+
+    opts = rt.RenderOptions(num_samples=2, max_bounces=1)
+    target_diffuse = jnp.asarray([0.3, 0.6, 0.4])
+    scene = _teapot_scene(res=(24, 24))
+    target = rt.render(
+        _teapot_scene(res=(24, 24), diffuse=target_diffuse), opts, seed=5
+    )
+
+    def loss(d, seed):
+        mats = tuple(
+            rt.make_material(diffuse_reflectance=jnp.clip(d, 0.0, 1.0))
+            if i == 0 else m
+            for i, m in enumerate(scene.materials)
+        )
+        img = rt.render(scene.replace(materials=mats), opts, seed=seed)
+        return jnp.mean((img - target) ** 2)
+
+    d = jnp.asarray([0.7, 0.2, 0.7])
+    opt = optax.adam(0.1)
+    state = opt.init(d)
+    gfn = jax.jit(jax.grad(loss))
+    for it in range(25):
+        g = gfn(d, jnp.uint32(5 + it))
+        upd, state = opt.update(g, state)
+        d = optax.apply_updates(d, upd)
+    err = float(jnp.max(jnp.abs(jnp.clip(d, 0.0, 1.0) - target_diffuse)))
+    assert err < 0.12, (d, target_diffuse)
+
+
+def _shrink(scene, res):
+    cam = scene.camera.replace(resolution=res)
+    return scene.replace(camera=cam)
+
+
+def test_bunny_box_gi_forward_and_gradients():
+    """bunny_box.serialized via the Mitsuba loader: 14.4k-tri interior GI
+    (2 bounces) forward + bunny-vertex gradients (reference
+    tests/test_bunny_box.py role)."""
+    scene = rt.load_mitsuba(os.path.join(_SCENES, "bunny_box.xml"))
+    assert len(scene.shapes) == 7 and len(scene.area_lights) == 1
+    scene = _shrink(scene, (24, 24))
+    opts = rt.RenderOptions(num_samples=2, max_bounces=2)
+    img = rt.render_image(scene, opts, seed=2)
+    assert jnp.isfinite(img).all()
+    assert float(img.max()) > 0.05, float(img.max())
+
+    bunny = scene.shapes[6]  # shapeIndex 6 = the bunny
+
+    def loss(v):
+        s = scene.replace(
+            shapes=scene.shapes[:6] + (bunny.replace(vertices=v),)
+        )
+        return jnp.sum(rt.render_image(s, opts, seed=2))
+
+    g = jax.jit(jax.grad(loss))(bunny.vertices)
+    assert jnp.isfinite(g).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_cbox_mitsuba_obj_scene():
+    """cbox.xml: Mitsuba scene with 8 OBJ meshes + roughplastic bsdf."""
+    scene = rt.load_mitsuba(os.path.join(_SCENES, "cbox", "cbox.xml"))
+    assert len(scene.shapes) == 8 and len(scene.area_lights) == 1
+    img = rt.render_image(
+        _shrink(scene, (24, 24)),
+        rt.RenderOptions(num_samples=2, max_bounces=1), seed=1,
+    )
+    assert jnp.isfinite(img).all()
+    assert float(img.max()) > 0.05, float(img.max())
+
+
+def test_living_room_parses_with_placeholders():
+    """living-room-3-scene.xml: the mesh payload isn't distributed with the
+    XML, but all 36 shapes / 13 materials / twosided+texture bsdfs must
+    parse under the placeholder policy."""
+    scene = rt.load_mitsuba(
+        os.path.join(_SCENES, "living-room-3-scene.xml"),
+        on_missing_mesh="placeholder",
+    )
+    assert len(scene.shapes) == 36
+    assert len(scene.materials) >= 13
+    assert len(scene.area_lights) == 1
+    with pytest.raises(FileNotFoundError):
+        rt.load_mitsuba(os.path.join(_SCENES, "living-room-3-scene.xml"))
