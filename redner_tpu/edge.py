@@ -169,38 +169,28 @@ def project_pixels(camera: Camera, p_world):
     return screen * scale, valid
 
 
-def primary_edge_gradients(
+def _sample_primary_edges(
     scene,
     flatten_scene_fn,
     render_sample_fn,
     options,
     seed,
-    d_image,
     num_edge_samples: int,
     lane_sharding=None,
 ):
-    """Gradient contribution of primary (screen-space) silhouette edges.
+    """Shared primary-edge sampling core (silhouette extraction, clipping,
+    pmf, two-sided offset-ray evaluation).  Consumed by the Eq.-8 gradient
+    surrogate (primary_edge_gradients) and the screen-gradient edge term
+    (primary_edge_screen_gradient_image, src/edge.cpp:765-773).
 
-    lane_sharding: optional jax.sharding.Sharding for the (N, k) edge-sample
-    lanes — edge samples are lane-indexed and embarrassingly parallel, so a
-    constraint on the sample uniforms lets GSPMD split the offset-ray pair
-    evaluations over the device mesh (the scene/edge tables replicate and
-    the surrogate sum psums automatically).
-
-    d_image: (vh, vw, C) adjoint of the FULL channel image — every channel
-    (radiance, alpha, depth, normals, albedo AOVs...) jumps across
-    silhouettes and receives an edge term, weighted by its adjoint
-    (reference weights edge contributions by every channel's multiplier,
-    src/primary_contribution.cpp:31,131-133).
-    Returns a surrogate scalar whose gradient is the edge contribution.
-
-    Estimator (per edge sample at screen point x with screen normal n_hat):
-        dI_p/dtheta += (f_minus - f_plus) . d_image[p] / pdf
-                       * <n_hat, dx/dtheta>
-    where f_+/- are full per-channel evaluations of rays offset +/-delta
-    along n_hat (reference two-sided edge rays with weight +/-d_color/pmf,
-    src/edge.cpp:385-652; Eq. 8 vertex/camera gradients via the
-    differentiable projection x(v0, v1, camera)).
+    Returns dict with per-sample arrays:
+      x_pix   (N, 2) DIFFERENTIABLE screen point of the edge sample
+      xs      (N, 2) its stop-gradient value
+      n_hat   (N, 2) screen normal of the edge (90deg CCW, stop-grad)
+      f_plus/f_minus (N, C) channel evaluations on either side
+      pdf     (N,) sample density per unit pixel length (stop-grad)
+      px, py  (N,) containing-pixel indices, inside (N,) in-viewport mask
+      any_edges () bool — False when the scene has no silhouettes
     """
     camera = scene.camera
     fs = flatten_scene_fn(scene)
@@ -310,24 +300,115 @@ def primary_edge_gradients(
     f_plus = sg(f_both[:N])
     f_minus = sg(f_both[N:])
 
-    # --- adjoint pixel lookup ---
+    # --- containing-pixel lookup ---
     px = jnp.clip(xs[:, 0].astype(jnp.int32) - left, 0, right - left - 1)
     py = jnp.clip(xs[:, 1].astype(jnp.int32) - top, 0, bottom - top - 1)
-    d_pix = sg(d_image)[py, px]  # (N, C)
     inside = (
         (xs[:, 0] >= left) & (xs[:, 0] < right)
         & (xs[:, 1] >= top) & (xs[:, 1] < bottom)
     )
 
     pdf = sg(pmf[sel] / jnp.maximum(seg_len[sel], 1e-20))  # per unit length
-    w = jnp.sum((f_minus - f_plus) * d_pix, axis=-1)
-    w = w / jnp.maximum(pdf, 1e-20)
-    w = jnp.where(inside & (pdf > 0) & sg(any_edges), w, 0.0) / N
+    return {
+        "x_pix": x_pix,
+        "xs": xs,
+        "n_hat": n_hat,
+        "f_plus": f_plus,
+        "f_minus": f_minus,
+        "pdf": pdf,
+        "px": px,
+        "py": py,
+        "inside": inside,
+        "any_edges": any_edges,
+        "N": N,
+    }
+
+
+def primary_edge_gradients(
+    scene,
+    flatten_scene_fn,
+    render_sample_fn,
+    options,
+    seed,
+    d_image,
+    num_edge_samples: int,
+    lane_sharding=None,
+):
+    """Gradient contribution of primary (screen-space) silhouette edges.
+
+    lane_sharding: optional jax.sharding.Sharding for the (N, k) edge-sample
+    lanes — edge samples are lane-indexed and embarrassingly parallel, so a
+    constraint on the sample uniforms lets GSPMD split the offset-ray pair
+    evaluations over the device mesh (the scene/edge tables replicate and
+    the surrogate sum psums automatically).
+
+    d_image: (vh, vw, C) adjoint of the FULL channel image — every channel
+    (radiance, alpha, depth, normals, albedo AOVs...) jumps across
+    silhouettes and receives an edge term, weighted by its adjoint
+    (reference weights edge contributions by every channel's multiplier,
+    src/primary_contribution.cpp:31,131-133).
+    Returns a surrogate scalar whose gradient is the edge contribution.
+
+    Estimator (per edge sample at screen point x with screen normal n_hat):
+        dI_p/dtheta += (f_minus - f_plus) . d_image[p] / pdf
+                       * <n_hat, dx/dtheta>
+    where f_+/- are full per-channel evaluations of rays offset +/-delta
+    along n_hat (reference two-sided edge rays with weight +/-d_color/pmf,
+    src/edge.cpp:385-652; Eq. 8 vertex/camera gradients via the
+    differentiable projection x(v0, v1, camera)).
+    """
+    sg = jax.lax.stop_gradient
+    s = _sample_primary_edges(
+        scene, flatten_scene_fn, render_sample_fn, options, seed,
+        num_edge_samples, lane_sharding,
+    )
+    d_pix = sg(d_image)[s["py"], s["px"]]  # (N, C)
+    w = jnp.sum((s["f_minus"] - s["f_plus"]) * d_pix, axis=-1)
+    w = w / jnp.maximum(s["pdf"], 1e-20)
+    w = jnp.where(
+        s["inside"] & (s["pdf"] > 0) & sg(s["any_edges"]), w, 0.0
+    ) / s["N"]
     w = sg(w)
 
     # Surrogate: gradient flows through x_pix(v0, v1, camera).
-    surrogate = jnp.sum(w * jnp.sum(sg(n_hat) * x_pix, axis=-1))
-    return surrogate
+    return jnp.sum(w * jnp.sum(sg(s["n_hat"]) * s["x_pix"], axis=-1))
+
+
+def primary_edge_screen_gradient_image(
+    scene,
+    flatten_scene_fn,
+    render_sample_fn,
+    options,
+    seed,
+    num_edge_samples: int,
+    image_shape,
+):
+    """Dirac (edge) part of the screen-gradient image -> (vh, vw, 2, C).
+
+    The reference adds primary-edge contributions to its 2-channel
+    screen_gradient_image (src/edge.cpp:765-773): crossing a silhouette
+    along +n_hat the channel value jumps from f_minus to f_plus, so the
+    derivative of the pixel value w.r.t. the SAMPLING position carries
+    (f_plus - f_minus) * n_hat per unit edge length through the pixel.
+    MC estimate: each edge sample scatters its jump / pdf into the pixel
+    containing it.  Complements the forward-mode jvp, which is exactly the
+    continuous part (screen_gradient.py).
+    """
+    sg = jax.lax.stop_gradient
+    s = _sample_primary_edges(
+        scene, flatten_scene_fn, render_sample_fn, options, seed,
+        num_edge_samples,
+    )
+    vh, vw, _, C = image_shape
+    valid = s["inside"] & (s["pdf"] > 0) & sg(s["any_edges"])
+    w = jnp.where(
+        valid[:, None],
+        (s["f_plus"] - s["f_minus"]) / jnp.maximum(s["pdf"], 1e-20)[:, None],
+        0.0,
+    ) / s["N"]  # (N, C)
+    contrib = sg(s["n_hat"])[:, :, None] * w[:, None, :]  # (N, 2, C)
+    img = jnp.zeros((vh, vw, 2, C), w.dtype)
+    return img.at[s["py"], s["px"]].add(sg(contrib))
 
 
 # ----------------------------------------------------------------------

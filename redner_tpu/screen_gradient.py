@@ -9,7 +9,10 @@ tests/test_screen_gradient.py).
 TPU-native design: instead of a dedicated adjoint channel, take two
 jax.jvp's of the per-pixel render w.r.t. the pixel-jitter offsets — the
 continuous part of exactly the same derivative, computed forward-mode
-(2 tangents ≪ reverse-mode cost here).
+(2 tangents ≪ reverse-mode cost here).  The discontinuous (silhouette)
+part is added by scattering primary-edge samples, matching the
+reference's edge contribution to the screen-gradient image
+(src/edge.cpp:765-773); gate it with options.use_primary_edge_sampling.
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 import redner_tpu.sampler as sampler_mod
+from redner_tpu.edge import primary_edge_screen_gradient_image
 from redner_tpu.render import RenderOptions, render_sample
 from redner_tpu.scene import flatten_scene
 
@@ -59,9 +63,20 @@ def screen_gradient_image(scene, options: RenderOptions, seed=0):
     total, _ = jax.lax.scan(
         body, init, jnp.arange(options.num_samples, dtype=jnp.uint32)
     )
-    return (total / options.num_samples).reshape(
+    img = (total / options.num_samples).reshape(
         vh, vw, 2, ci.num_total_dimensions
     )
+    if options.use_primary_edge_sampling:
+        # Dirac (silhouette) part: scatter primary-edge jumps into the
+        # containing pixels (reference src/edge.cpp:765-773).
+        num_edge_samples = options.num_edge_samples or (
+            n * options.num_samples
+        )
+        img = img + primary_edge_screen_gradient_image(
+            scene, flatten_scene, render_sample, options, seed,
+            num_edge_samples, img.shape,
+        )
+    return img
 
 
 def visualize_screen_gradient(scene, options: RenderOptions, seed=0):

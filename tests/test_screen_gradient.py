@@ -53,6 +53,33 @@ def test_screen_gradient_flat_region_is_small():
     assert float(m_slant.mean()) > float(m_flat.mean())
 
 
+def test_screen_gradient_edge_term_reconstructs_silhouette():
+    """The Dirac (primary-edge) part of the screen-gradient image
+    (reference src/edge.cpp:765-773): for a constant emissive quad at
+    0 bounces the continuous part is identically zero, so by the
+    fundamental theorem of calculus the cumulative sum of d/dx across
+    columns must reconstruct the pixel values themselves."""
+    cam = rt.make_camera(position=[0., 0., -3.], look_at=[0., 0., 0.],
+                         up=[0., 1., 0.], fov=45.0, resolution=(16, 16))
+    quad = rt.make_shape(
+        vertices=[[-.5, -.5, 0.], [.5, -.5, 0.], [-.5, .5, 0.], [.5, .5, 0.]],
+        indices=[[0, 2, 1], [1, 2, 3]], material_id=0, light_id=0)
+    mat = rt.make_material(diffuse_reflectance=[0., 0., 0.])
+    scene = rt.make_scene(cam, [quad], [mat],
+                          area_lights=[rt.make_area_light(0, [2., 2., 2.])])
+    opts = rt.RenderOptions(num_samples=16, max_bounces=0,
+                            channels=(rt.channels.radiance,))
+    F = rt.render_image(scene, opts, seed=0)
+    g = rt.screen_gradient_image(scene, opts, seed=0)
+    assert float(F.max()) > 1.9  # the quad is visible at its intensity
+    recon_x = jnp.cumsum(g[..., 0, :], axis=1)[:, 8]  # (16, 3) at mid col
+    recon_y = jnp.cumsum(g[..., 1, :], axis=0)[8, :]  # (16, 3) at mid row
+    err_x = float(jnp.mean(jnp.abs(recon_x - F[:, 8])))
+    err_y = float(jnp.mean(jnp.abs(recon_y - F[8, :])))
+    assert err_x < 0.3, err_x  # vs interior value 2.0
+    assert err_y < 0.3, err_y
+
+
 def test_envmap_texture_optimization():
     """Recover envmap texels from a target render
     (reference tests/test_envmap.py)."""
