@@ -273,11 +273,37 @@ def _sample_primary_edges(
 
     # Differentiable screen point of the sample (pixel units), on the
     # near-plane-CLIPPED endpoints (behind-camera endpoints do not project).
-    a_pix, _ = project_pixels(camera, a3[sel])
-    b_pix, _ = project_pixels(camera, b3[sel])
-    x_pix = (1.0 - tt)[:, None] * a_pix + tt[:, None] * b_pix
+    a_sel = a3[sel]
+    b_sel = b3[sel]
+    nonlinear = (
+        camera.camera_type in (CameraType.fisheye, CameraType.panorama)
+        or camera.has_distortion
+    )
+    if nonlinear:
+        # Film-ARC sampling (reference src/edge.cpp:482-592): a 3D line
+        # images to a curve under fisheye/panorama/distorted cameras, so
+        # project the 3D edge point itself and take the screen tangent and
+        # line Jacobian |dx/ds| by forward-mode AD of the projection.
+        # (The per-edge pmf still uses the chord as its importance — only
+        # the pdf below must be exact, and it uses the true Jacobian.)
+        p3 = a_sel + tt[:, None] * (b_sel - a_sel)
+        x_pix, _ = project_pixels(camera, p3)
 
-    e_dir = vm.normalize(sg(b_pix - a_pix))
+        def _xs_of(s):
+            p = sg(a_sel) + s[:, None] * (sg(b_sel) - sg(a_sel))
+            xp, _ = project_pixels(camera, p)
+            return xp
+
+        _, dxds = jax.jvp(_xs_of, (tt,), (jnp.ones_like(tt),))
+        arc_speed = vm.length(sg(dxds))  # pixels per unit edge param
+        e_dir = sg(dxds) / jnp.maximum(arc_speed, 1e-20)[:, None]
+    else:
+        # Linear cameras: the film image of the edge IS the chord.
+        a_pix, _ = project_pixels(camera, a_sel)
+        b_pix, _ = project_pixels(camera, b_sel)
+        x_pix = (1.0 - tt)[:, None] * a_pix + tt[:, None] * b_pix
+        arc_speed = vm.length(sg(b_pix) - sg(a_pix))
+        e_dir = vm.normalize(sg(b_pix - a_pix))
     n_hat = jnp.stack([-e_dir[..., 1], e_dir[..., 0]], axis=-1)  # 90deg CCW
 
     # --- trace the offset ray pair ---
@@ -308,7 +334,13 @@ def _sample_primary_edges(
         & (xs[:, 1] >= top) & (xs[:, 1] < bottom)
     )
 
-    pdf = sg(pmf[sel] / jnp.maximum(seg_len[sel], 1e-20))  # per unit length
+    # Density per unit pixel length at the sample: edge pmf x uniform-in-s
+    # density, pushed through the true screen-length Jacobian |dx/ds|
+    # (for linear cameras arc_speed * (t1-t0) == seg_len, the chord).
+    pdf = sg(
+        pmf[sel]
+        / jnp.maximum(arc_speed * (t1 - t0)[sel], 1e-20)
+    )
     return {
         "x_pix": x_pix,
         "xs": xs,

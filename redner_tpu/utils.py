@@ -131,12 +131,69 @@ def _sh_basis_l2(d):
     )
 
 
-def sh_eval(coeffs, dirs):
-    """Evaluate SH (up to l=2, 9 coeffs) at directions.
+def sh_basis(order: int, d):
+    """Real SH basis up to band `order` (inclusive) -> (..., (order+1)^2).
 
-    coeffs: (9, C) or (9,); dirs: (..., 3) -> (..., C)."""
+    Arbitrary order via the associated-Legendre recurrences with the
+    Condon-Shortley phase, matching the reference's general-order SH
+    (pyredner/utils.py:10-62) and reducing to the closed-form l<=2 table.
+    Band layout: index l*(l+1)+m, m in [-l, l]; polar axis is +z,
+    phi = atan2(y, x); directions are assumed normalized."""
+    import math
+
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    phi = jnp.arctan2(y, x)
+    ct = z
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+
+    # P[(l, m)] = associated Legendre P_l^m(ct) (with CS phase).
+    P = {}
+    pmm = jnp.ones_like(ct)
+    for m in range(order + 1):
+        if m > 0:
+            pmm = pmm * (-(2 * m - 1)) * st  # P_m^m = (-1)^m (2m-1)!! st^m
+        P[(m, m)] = pmm
+        if m + 1 <= order:
+            P[(m + 1, m)] = ct * (2 * m + 1) * P[(m, m)]
+        for l in range(m + 2, order + 1):
+            P[(l, m)] = (
+                (2 * l - 1) * ct * P[(l - 1, m)] - (l + m - 1) * P[(l - 2, m)]
+            ) / (l - m)
+
+    out = []
+    for l in range(order + 1):
+        for m in range(-l, l + 1):
+            am = abs(m)
+            K = math.sqrt(
+                (2 * l + 1)
+                / (4.0 * math.pi)
+                * math.factorial(l - am)
+                / math.factorial(l + am)
+            )
+            if m == 0:
+                out.append(K * P[(l, 0)])
+            elif m > 0:
+                out.append(math.sqrt(2.0) * K * jnp.cos(m * phi) * P[(l, m)])
+            else:
+                out.append(math.sqrt(2.0) * K * jnp.sin(am * phi) * P[(l, am)])
+    return jnp.stack(out, axis=-1)
+
+
+def sh_eval(coeffs, dirs):
+    """Evaluate SH at directions; the band count is inferred from coeffs.
+
+    coeffs: ((order+1)^2, C) or ((order+1)^2,); dirs: (..., 3) -> (..., C).
+    Any order is supported (9 coeffs -> l<=2, 16 -> l<=3, ...)."""
+    import math
+
     coeffs = jnp.asarray(coeffs)
-    basis = _sh_basis_l2(dirs)
+    n = coeffs.shape[0]
+    order = int(math.isqrt(n)) - 1
+    if (order + 1) ** 2 != n:
+        raise ValueError(
+            f"coeffs count {n} is not a square; expected (order+1)^2"
+        )
+    basis = sh_basis(order, dirs)
     if coeffs.ndim == 1:
         return jnp.einsum("...k,k->...", basis, coeffs)
     return jnp.einsum("...k,kc->...c", basis, coeffs)

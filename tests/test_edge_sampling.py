@@ -250,3 +250,69 @@ def test_clipped_triangle_edge_gradient_matches_fd():
     assert np.isfinite(g)
     assert abs(fd) > 0.5, fd
     assert abs(g - fd) <= 0.35 * abs(fd), (g, fd)
+
+
+def _nonlinear_cam_scene(camera_type, vertices, res=(16, 16)):
+    cam = rt.make_camera(
+        position=[0.0, 0.0, -5.0], look_at=[0.0, 0.0, 0.0],
+        up=[0.0, 1.0, 0.0], fov=45.0, resolution=res,
+        camera_type=camera_type,
+    )
+    tri = rt.make_shape(vertices=vertices, indices=[[0, 1, 2]], material_id=0)
+    mat = rt.make_material(diffuse_reflectance=[0.5, 0.5, 0.5],
+                           two_sided=True)
+    return rt.make_scene(cam, [tri], [mat])
+
+
+def _coverage_scale_check(camera_type, vertices, rtol=0.35, nseeds=8):
+    """Edge-FD harness for nonlinear cameras: alpha-channel coverage under
+    a scale of the triangle about its centroid (area changes coherently),
+    primary edges sampled on the film ARC (reference src/edge.cpp:482-592).
+    """
+    opts = rt.RenderOptions(num_samples=8, max_bounces=0,
+                            channels=(rt.channels.alpha,))
+    base = jnp.asarray(vertices, jnp.float32)
+    centroid = jnp.mean(base, axis=0, keepdims=True)
+
+    def make(s_):
+        v = centroid + (base - centroid) * (1.0 + s_)
+        return _nonlinear_cam_scene(camera_type, v)
+
+    @jax.jit
+    def gfn(seed):
+        return jax.grad(
+            lambda s_: jnp.sum(rt.render(make(s_), opts, seed=seed))
+        )(0.0)
+
+    @jax.jit
+    def lfn(s_, seed):
+        return jnp.sum(rt.render_image(make(s_), opts, seed=seed))
+
+    g = np.mean([float(gfn(jnp.uint32(s))) for s in range(nseeds)])
+    eps = 0.05
+    fd = np.mean([
+        (float(lfn(eps, jnp.uint32(s))) - float(lfn(-eps, jnp.uint32(s))))
+        / (2 * eps)
+        for s in range(nseeds)
+    ])
+    assert np.isfinite(g)
+    assert abs(fd) > 0.5, fd
+    assert abs(g - fd) <= rtol * abs(fd), (g, fd)
+
+
+def test_fisheye_edge_gradient_matches_fd():
+    """Primary-edge gradients under the equi-angular fisheye camera, where
+    straight edges image to curves (reference test via generic cameras,
+    src/edge.cpp:482-592)."""
+    _coverage_scale_check(
+        rt.camera_type.fisheye,
+        [[-1.7, 1.0, 0.0], [1.0, 1.0, 0.0], [-0.5, -1.0, 0.0]],
+    )
+
+
+def test_panorama_edge_gradient_matches_fd():
+    """Primary-edge gradients under the equirectangular panorama camera."""
+    _coverage_scale_check(
+        rt.camera_type.panorama,
+        [[-1.7, 1.0, 3.0], [1.0, 1.0, 3.0], [-0.5, -1.0, 3.0]],
+    )

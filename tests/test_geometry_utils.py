@@ -87,3 +87,38 @@ def test_weld_then_edges_shared():
     f1 = np.asarray(edges.f1)
     assert valid.sum() == 5
     assert ((f1 >= 0) & valid).sum() == 1
+
+
+def test_sh_basis_orthonormal_and_matches_l2():
+    """General-order SH (reference pyredner/utils.py:10-62): the recurrence
+    basis must be orthonormal over the sphere and reduce to the closed-form
+    l<=2 table used by round-1 code."""
+    import jax.numpy as jnp
+    from redner_tpu.utils import sh_basis, sh_eval, _sh_basis_l2
+
+    # Gauss-style lat-long quadrature on the sphere.
+    nt, np_ = 64, 128
+    theta = (np.arange(nt) + 0.5) / nt * np.pi
+    phi = (np.arange(np_) + 0.5) / np_ * 2 * np.pi
+    T, P = np.meshgrid(theta, phi, indexing="ij")
+    d = np.stack(
+        [np.sin(T) * np.cos(P), np.sin(T) * np.sin(P), np.cos(T)], axis=-1
+    ).reshape(-1, 3).astype(np.float32)
+    w = (np.sin(T) * (np.pi / nt) * (2 * np.pi / np_)).reshape(-1)
+
+    B = np.asarray(sh_basis(3, jnp.asarray(d)), np.float64)  # (N, 16)
+    gram = (B * w[:, None]).T @ B
+    assert np.allclose(gram, np.eye(16), atol=2e-3), np.abs(
+        gram - np.eye(16)
+    ).max()
+
+    # Reduces to the closed-form l<=2 table (same signs/convention).
+    B2 = np.asarray(_sh_basis_l2(jnp.asarray(d)))
+    assert np.allclose(B[:, :9], B2, atol=1e-5)
+
+    # sh_eval infers the order: a pure l=3 coefficient reconstructs itself.
+    c = np.zeros((16,), np.float32)
+    c[12] = 1.0  # l=3, m=0
+    vals = np.asarray(sh_eval(jnp.asarray(c), jnp.asarray(d)), np.float64)
+    coeff = (vals * w * B[:, 12]).sum()
+    assert abs(coeff - 1.0) < 2e-3
