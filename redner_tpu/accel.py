@@ -184,14 +184,19 @@ def build_accel_cache(fs):
     return build_cluster_cache(fs)
 
 
-def intersect(fs, ray: Ray) -> Intersection:
+def intersect(fs, ray: Ray, presorted: bool = False) -> Intersection:
     """Closest-hit dispatch: fused Pallas sweep on TPU, MXU matmul sweep
-    elsewhere; Morton-clustered culling for large scenes."""
+    elsewhere; Morton-clustered culling for large scenes.
+
+    presorted: the caller guarantees the ray order is already tile-
+    coherent (e.g. swizzled primary rays), so the engines skip their
+    Morton coherence sort — the sort's per-lane permutation gather and
+    unsort scatter are a measured ~40% of the intersect wall clock."""
     if fs.num_triangles <= MM_MAX_TRIS:
         if _on_tpu():
             from redner_tpu.ops.pallas_intersect import intersect_pallas
 
-            return intersect_pallas(fs, ray)
+            return intersect_pallas(fs, ray, presorted=presorted)
         from redner_tpu.ops.intersect import intersect_mm
 
         return intersect_mm(fs, ray)
@@ -200,12 +205,12 @@ def intersect(fs, ray: Ray) -> Intersection:
     return intersect_clustered(fs, ray)
 
 
-def occluded(fs, ray: Ray) -> jnp.ndarray:
+def occluded(fs, ray: Ray, presorted: bool = False) -> jnp.ndarray:
     if fs.num_triangles <= MM_MAX_TRIS:
         if _on_tpu():
             from redner_tpu.ops.pallas_intersect import occluded_pallas
 
-            return occluded_pallas(fs, ray)
+            return occluded_pallas(fs, ray, presorted=presorted)
         from redner_tpu.ops.intersect import occluded_mm
 
         return occluded_mm(fs, ray)

@@ -153,3 +153,14 @@ def to_world(frame_x, frame_y, frame_n, v):
     return (
         frame_x * v[..., 0:1] + frame_y * v[..., 1:2] + frame_n * v[..., 2:3]
     )
+
+
+def searchsorted_right(sorted_x, q):
+    """Gather-free jnp.searchsorted(sorted_x, q, side="right").
+
+    sorted_x: (..., L) sorted rows broadcastable against q (...,); returns
+    the per-row count of elements <= q, as int32.  jnp.searchsorted (and
+    its vmap) lowers on TPU to a log2(L) while loop of per-lane gathers —
+    measured ~14 ms per call at 262k lanes — while this comparison-sum
+    fuses into a single VPU reduce pass (n*L comparisons, no gathers)."""
+    return jnp.sum((sorted_x <= q[..., None]).astype(jnp.int32), axis=-1)

@@ -266,7 +266,7 @@ def _sample_primary_edges(
     if lane_sharding is not None:
         u = jax.lax.with_sharding_constraint(u, lane_sharding)
     sel = jnp.clip(
-        jnp.searchsorted(sg(cdf), u[:, 0], side="right") - 1, 0, cdf.shape[0] - 1
+        vm.searchsorted_right(sg(cdf), u[:, 0]) - 1, 0, cdf.shape[0] - 1
     )
     tt = t0[sel] + (t1[sel] - t0[sel]) * u[:, 1]  # param along full segment
     tt = sg(tt)

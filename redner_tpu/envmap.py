@@ -157,17 +157,14 @@ def envmap_sample(penv: PackedEnvmap, sample):
     sy = sample[..., 1]
     sx = sample[..., 0]
     y_pos = jnp.clip(
-        jnp.searchsorted(penv.sample_cdf_ys, sy, side="right") - 1, 0, h - 1
+        vm.searchsorted_right(penv.sample_cdf_ys, sy) - 1, 0, h - 1
     )
     cdf_y0 = penv.sample_cdf_ys[y_pos]
     cdf_y1 = jnp.where(y_pos < h - 1, penv.sample_cdf_ys[jnp.minimum(y_pos + 1, h - 1)], 1.0)
     sy = vm.safe_div(sy - cdf_y0, cdf_y1 - cdf_y0)
     row_cdf = penv.sample_cdf_xs[y_pos]  # (..., W)
     x_pos = jnp.clip(
-        jax.vmap(lambda row, s: jnp.searchsorted(row, s, side="right"))(
-            row_cdf.reshape(-1, w), sx.reshape(-1)
-        ).reshape(sx.shape)
-        - 1,
+        vm.searchsorted_right(row_cdf, sx) - 1,
         0,
         w - 1,
     )

@@ -32,21 +32,22 @@ TILE_N = 512  # rays per tile
 CHUNK = 512  # triangles per chunk
 
 
-def _closest_kernel(mask_ref, R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+def _closest_kernel(tile_ref, chunk_ref, first_ref, R_ref, T_ref, tmin_ref,
+                    tmax_ref, bt_ref, bi_ref):
+    s = pl.program_id(0)
 
-    @pl.when(j == 0)
+    @pl.when(first_ref[s] == 1)
     def _():
         bt_ref[:] = jnp.full_like(bt_ref, jnp.inf)
         bi_ref[:] = jnp.full_like(bi_ref, -1)
 
-    @pl.when(mask_ref[i, j] != 0)
+    @pl.when(first_ref[s] >= 0)
     def _():
-        _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref, j)
+        _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref,
+                      chunk_ref[s])
 
 
-def _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref, j):
+def _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref, chunk_id):
     terms = jnp.dot(R_ref[:], T_ref[:], preferred_element_type=jnp.float32)
     det = terms[:, 0 * CHUNK : 1 * CHUNK]
     u_num = terms[:, 1 * CHUNK : 2 * CHUNK]
@@ -71,21 +72,27 @@ def _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref, j):
     t = jnp.where(hit, tn / jnp.maximum(adet, 1e-8), jnp.inf)
     t_best = jnp.min(t, axis=1, keepdims=True)  # (TILE_N, 1)
     arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-    tri = j * CHUNK + arg
+    tri = chunk_id * CHUNK + arg
     better = t_best < bt_ref[:]
     bt_ref[:] = jnp.where(better, t_best, bt_ref[:])
     bi_ref[:] = jnp.where(better, tri, bi_ref[:])
 
 
-def _anyhit_kernel(mask_ref, R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+def _anyhit_kernel(tile_ref, chunk_ref, first_ref, R_ref, T_ref, tmin_ref,
+                   tmax_ref, blocked_ref):
+    s = pl.program_id(0)
 
-    @pl.when(j == 0)
+    @pl.when(first_ref[s] == 1)
     def _():
         blocked_ref[:] = jnp.zeros_like(blocked_ref)
 
-    @pl.when(mask_ref[i, j] != 0)
+    # Early exit: once every live ray in the tile is blocked, further
+    # chunks cannot change the answer.  (live rays have tmax >= tmin;
+    # padded/dead lanes were given tmax < tmin so they never block and
+    # must not hold the tile open — count them as settled.)
+    settled = (blocked_ref[:] > 0) | (tmax_ref[:] < tmin_ref[:])
+
+    @pl.when((first_ref[s] >= 0) & jnp.logical_not(jnp.all(settled)))
     def _():
         _anyhit_body(R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref)
 
@@ -197,6 +204,52 @@ def _tile_chunk_mask(org, d, tmin, tmax, live, ntile, cl_min, cl_max):
     return tile_hit.astype(jnp.int32)
 
 
+def _flat_active_table(mask):
+    """(ntile, nchunks) activity mask -> flat per-STEP tables for a 1D
+    grid over only the active (tile, chunk) pairs.
+
+    Measured on the teapot primary sweep: ~10% of pairs are active, yet
+    the 2D masked grid still paid ~0.8us of pipeline overhead per MASKED
+    step — more than half the kernel's wall clock.  Mosaic supports
+    dynamic grid bounds, so iterate exactly the num_steps active pairs,
+    tile-major (output blocks revisit), Morton chunk order within a tile.
+
+    Returns (tile_of, chunk_of, first_of, num_steps, tile_active):
+      tile_of/chunk_of/first_of are (ntile*nchunks,) int32 step tables;
+      first_of is 1 at a tile's first step, 0 on continuation steps, -1
+      on pad entries past num_steps (no-op guard for static-bound runs);
+      tile_active is (ntile,) bool — tiles with zero active chunks never
+      get a kernel step, so their output blocks are garbage and must be
+      masked by the caller."""
+    ntile, nchunks = mask.shape
+    smax = ntile * nchunks
+    mb = mask.astype(bool)
+    cnt = jnp.sum(mask, axis=1).astype(jnp.int32)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)[:-1].astype(jnp.int32)]
+    )
+    rank = (jnp.cumsum(mask, axis=1) - mask).astype(jnp.int32)
+    pos = jnp.where(mb, offs[:, None] + rank, smax)  # inactive -> sentinel
+    ii = jnp.broadcast_to(
+        jnp.arange(ntile, dtype=jnp.int32)[:, None], (ntile, nchunks)
+    )
+    jj = jnp.broadcast_to(
+        jnp.arange(nchunks, dtype=jnp.int32)[None, :], (ntile, nchunks)
+    )
+    flat_pos = pos.reshape(-1)
+    tile_of = jnp.zeros((smax + 1,), jnp.int32).at[flat_pos].set(
+        ii.reshape(-1), mode="drop"
+    )[:smax]
+    chunk_of = jnp.zeros((smax + 1,), jnp.int32).at[flat_pos].set(
+        jj.reshape(-1), mode="drop"
+    )[:smax]
+    first = jnp.full((smax + 1,), -1, jnp.int32).at[flat_pos].set(
+        jnp.where(rank == 0, 1, 0).reshape(-1), mode="drop"
+    )[:smax]
+    num_steps = jnp.sum(cnt)
+    return tile_of, chunk_of, first, num_steps, cnt > 0
+
+
 def _coherence_order(org, d, live):
     """Sort key packing origin Morton (6 bits/axis) over direction Morton
     (4 bits/axis): rays land in spatially tight tiles so the tile-chunk
@@ -257,26 +310,28 @@ def _prepare_rays(ray: Ray, sort_rays: bool):
     return R, tmin_p, tmax_p, n, ntile, live, (org_p, d_p, live_p), perm
 
 
-def _grid_spec(ntile, nchunks, out_specs):
-    """Scalar-prefetch grid: arg 0 is the whole (ntile, nchunks) activity
-    mask in SMEM, indexed by program ids inside the kernel."""
+def _grid_spec(num_steps, out_specs):
+    """Scalar-prefetch grid over ACTIVE (tile, chunk) steps only: args
+    0/1/2 are the per-step tile id, chunk id, and first-step flag in
+    SMEM.  `num_steps` may be a traced int (dynamic grid bound) — only
+    the active steps execute at all."""
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ntile, nchunks),
+        num_scalar_prefetch=3,
+        grid=(num_steps,),
         in_specs=[
-            pl.BlockSpec((TILE_N, 10), lambda i, j, mask: (i, 0)),
-            pl.BlockSpec((1, 10, 4 * CHUNK), lambda i, j, mask: (j, 0, 0)),
-            pl.BlockSpec((TILE_N, 1), lambda i, j, mask: (i, 0)),
-            pl.BlockSpec((TILE_N, 1), lambda i, j, mask: (i, 0)),
+            pl.BlockSpec((TILE_N, 10), lambda s, t, c, f: (t[s], 0)),
+            pl.BlockSpec((1, 10, 4 * CHUNK), lambda s, t, c, f: (c[s], 0, 0)),
+            pl.BlockSpec((TILE_N, 1), lambda s, t, c, f: (t[s], 0)),
+            pl.BlockSpec((TILE_N, 1), lambda s, t, c, f: (t[s], 0)),
         ],
         out_specs=out_specs,
     )
 
 
-def _closest_kernel_wrap(mask_ref, R_ref, T_ref, tmin_ref, tmax_ref,
-                         bt_ref, bi_ref):
-    _closest_kernel(mask_ref, R_ref, _Squeeze(T_ref), tmin_ref, tmax_ref,
-                    bt_ref, bi_ref)
+def _closest_kernel_wrap(tile_ref, chunk_ref, first_ref, R_ref, T_ref,
+                         tmin_ref, tmax_ref, bt_ref, bi_ref):
+    _closest_kernel(tile_ref, chunk_ref, first_ref, R_ref, _Squeeze(T_ref),
+                    tmin_ref, tmax_ref, bt_ref, bi_ref)
 
 
 class _Squeeze:
@@ -291,14 +346,18 @@ class _Squeeze:
         return self._ref[(0,) + (idx if isinstance(idx, tuple) else (idx,))]
 
 
-def intersect_pallas(fs, ray: Ray, interpret: bool = False) -> Intersection:
+def intersect_pallas(fs, ray: Ray, interpret: bool = False,
+                     presorted: bool = False) -> Intersection:
     """Closest hit via the fused Pallas kernel with tile-chunk culling."""
     Tc, idx_map, cl_min, cl_max = _coeff_layout(fs)
     nchunks = Tc.shape[0]
     (R, tmin_p, tmax_p, n, ntile, live, (org_p, d_p, live_p),
-     perm) = _prepare_rays(ray, sort_rays=nchunks > 8)
+     perm) = _prepare_rays(ray, sort_rays=nchunks > 8 and not presorted)
     mask = _tile_chunk_mask(
         org_p, d_p, tmin_p[:, 0], tmax_p[:, 0], live_p, ntile, cl_min, cl_max
+    )
+    tile_of, chunk_of, first_of, num_steps, tile_active = (
+        _flat_active_table(mask)
     )
 
     best_t, best_i = pl.pallas_call(
@@ -308,18 +367,21 @@ def intersect_pallas(fs, ray: Ray, interpret: bool = False) -> Intersection:
             jax.ShapeDtypeStruct((ntile * TILE_N, 1), jnp.int32),
         ),
         grid_spec=_grid_spec(
-            ntile, nchunks,
+            jnp.maximum(num_steps, 1),
             (
-                pl.BlockSpec((TILE_N, 1), lambda i, j, mask: (i, 0)),
-                pl.BlockSpec((TILE_N, 1), lambda i, j, mask: (i, 0)),
+                pl.BlockSpec((TILE_N, 1), lambda s, t, c, f: (t[s], 0)),
+                pl.BlockSpec((TILE_N, 1), lambda s, t, c, f: (t[s], 0)),
             ),
         ),
         interpret=interpret,
-    )(mask, R, Tc, tmin_p, tmax_p)
+    )(tile_of, chunk_of, first_of, R, Tc, tmin_p, tmax_p)
 
+    # Tiles with zero active chunks never got a kernel step: their output
+    # blocks are uninitialized garbage.  Mask them (sorted-ray order).
+    act_ray = jnp.repeat(tile_active, TILE_N)[:n]
     best_t = best_t[:n, 0]
     best_i = best_i[:n, 0]
-    found = jnp.isfinite(best_t) & (best_i >= 0) & live
+    found = jnp.isfinite(best_t) & (best_i >= 0) & live & act_ray
     F = fs.num_triangles
     tri = jnp.where(
         found, idx_map[jnp.clip(best_i, 0, idx_map.shape[0] - 1)], -1
@@ -342,31 +404,36 @@ def intersect_pallas(fs, ray: Ray, interpret: bool = False) -> Intersection:
     )
 
 
-def _anyhit_kernel_wrap(mask_ref, R_ref, T_ref, tmin_ref, tmax_ref,
-                        blocked_ref):
-    _anyhit_kernel(mask_ref, R_ref, _Squeeze(T_ref), tmin_ref, tmax_ref,
-                   blocked_ref)
+def _anyhit_kernel_wrap(tile_ref, chunk_ref, first_ref, R_ref, T_ref,
+                        tmin_ref, tmax_ref, blocked_ref):
+    _anyhit_kernel(tile_ref, chunk_ref, first_ref, R_ref, _Squeeze(T_ref),
+                   tmin_ref, tmax_ref, blocked_ref)
 
 
-def occluded_pallas(fs, ray: Ray, interpret: bool = False) -> jnp.ndarray:
+def occluded_pallas(fs, ray: Ray, interpret: bool = False,
+                    presorted: bool = False) -> jnp.ndarray:
     Tc, _, cl_min, cl_max = _coeff_layout(fs)
     nchunks = Tc.shape[0]
     (R, tmin_p, tmax_p, n, ntile, live, (org_p, d_p, live_p),
-     perm) = _prepare_rays(ray, sort_rays=nchunks > 8)
+     perm) = _prepare_rays(ray, sort_rays=nchunks > 8 and not presorted)
     mask = _tile_chunk_mask(
         org_p, d_p, tmin_p[:, 0], tmax_p[:, 0], live_p, ntile, cl_min, cl_max
+    )
+    tile_of, chunk_of, first_of, num_steps, tile_active = (
+        _flat_active_table(mask)
     )
 
     blocked = pl.pallas_call(
         _anyhit_kernel_wrap,
         out_shape=jax.ShapeDtypeStruct((ntile * TILE_N, 1), jnp.int32),
         grid_spec=_grid_spec(
-            ntile, nchunks,
-            pl.BlockSpec((TILE_N, 1), lambda i, j, mask: (i, 0)),
+            jnp.maximum(num_steps, 1),
+            pl.BlockSpec((TILE_N, 1), lambda s, t, c, f: (t[s], 0)),
         ),
         interpret=interpret,
-    )(mask, R, Tc, tmin_p, tmax_p)
-    blocked_sorted = (blocked[:n, 0] > 0) & live
+    )(tile_of, chunk_of, first_of, R, Tc, tmin_p, tmax_p)
+    act_ray = jnp.repeat(tile_active, TILE_N)[:n]
+    blocked_sorted = (blocked[:n, 0] > 0) & live & act_ray
     if perm is not None:
         blocked_o = jnp.zeros((n,), bool).at[perm].set(blocked_sorted)
     else:

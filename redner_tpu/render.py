@@ -284,7 +284,7 @@ def _sample_light_point(fs: FlatScene, sp_pos, light_uniforms):
     num_lights = fs.num_lights
     sg = jax.lax.stop_gradient
     light_id = jnp.clip(
-        jnp.searchsorted(fs.light_cdf, light_uniforms[:, 0], side="right") - 1,
+        vm.searchsorted_right(fs.light_cdf, light_uniforms[:, 0]) - 1,
         0,
         num_lights - 1,
     )
@@ -296,10 +296,7 @@ def _sample_light_point(fs: FlatScene, sp_pos, light_uniforms):
         row_cdf = fs.light_tri_cdf[lidx]  # (n, Tmax)
         tmaxn = row_cdf.shape[-1]
         tri_ofs = jnp.clip(
-            jax.vmap(lambda row, s: jnp.searchsorted(row, s, side="right"))(
-                row_cdf, light_uniforms[:, 1]
-            )
-            - 1,
+            vm.searchsorted_right(row_cdf, light_uniforms[:, 1]) - 1,
             0,
             tmaxn - 1,
         )
@@ -644,6 +641,15 @@ def trace_radiance(
 
 SWIZZLE_BLOCK = (16, 32)  # (rows, cols): 512 pixels = one Pallas ray tile
 
+# Target lane count per scan step of the image loop: samples are batched
+# into the lane axis until roughly this many lanes per step.  Batching
+# helps small viewports (amortizes per-fusion launch overhead), but A/B
+# on the teapot bench showed 256k-lane steps are a net LOSS on v5e
+# (fwd+bwd 258 ms vs 147 ms at 64k lanes — bigger fusion temporaries
+# evict VMEM and the backward residual working set spills), so the
+# target is one full 256x256 image worth of lanes.
+SAMPLES_LANE_TARGET = 1 << 16
+
 
 def swizzle_order(vh: int, vw: int):
     """Static pixel permutation grouping 16x32 screen blocks contiguously.
@@ -697,6 +703,10 @@ def render_sample(
         pixel_ids = jnp.arange(n, dtype=jnp.int32)
     else:
         pixel_ids = jnp.asarray(pixel_order, jnp.int32)
+        # The image loop batches several samples into the lane axis by
+        # tiling the pixel order (sample_id is then per-lane); the lane
+        # count is the tiled length, not the viewport pixel count.
+        n = pixel_ids.shape[0]
     dtype = fs.vertices.dtype
 
     dim = sampler_mod.DimAllocator()
@@ -715,7 +725,12 @@ def render_sample(
     else:
         ray, ray_diff = primary_rays
 
-    isect = accel.intersect(fs, ray)
+    # Swizzled primary rays are already tile-coherent: skip the engines'
+    # Morton coherence sort (edge passes supply their own incoherent rays
+    # and still sort).
+    isect = accel.intersect(
+        fs, ray, presorted=primary_rays is None and pixel_order is not None
+    )
     sp, aov_diff = _surface_point_at(fs, isect, ray, ray_diff)
     mid = fs.face_material_id[jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)]
     lm = fetch_local_material(fs, sp, mid)
@@ -787,9 +802,26 @@ def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
             return jax.lax.with_sharding_constraint(x, pixel_sharding)
         return x
 
-    def body(acc, sample_id):
+    # Batch K samples into the lane axis per scan step when the viewport
+    # is smaller than SAMPLES_LANE_TARGET lanes (small images pay ~1000
+    # per-fusion launches per sample; batching amortizes them).  RNG is
+    # keyed by (pixel, sample), so the result equals the one-sample-per-
+    # step loop up to float summation order.
+    n = vw * vh
+    spp = options.num_samples
+    K = max(1, min(spp, SAMPLES_LANE_TARGET // max(n, 1)))
+    npass = -(-spp // K)
+    order_t = jnp.tile(order, K)
+    sub = jnp.arange(K, dtype=jnp.uint32)
+
+    def body(acc, pass_id):
+        sample_vec = jnp.repeat(pass_id * K + sub, n)  # (K*n,)
         contrib = render_sample(
-            fs, camera, options, seed, sample_id, pixel_order=order
+            fs, camera, options, seed, sample_vec, pixel_order=order_t
+        )
+        w = (pass_id * K + sub < spp).astype(contrib.dtype)  # ragged tail
+        contrib = jnp.einsum(
+            "knc,k->nc", contrib.reshape(K, n, ci.num_total_dimensions), w
         )
         return acc + constrain(contrib), None
 
@@ -797,7 +829,7 @@ def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
         jnp.zeros((vw * vh, ci.num_total_dimensions), fs.vertices.dtype)
     )
     img, _ = jax.lax.scan(
-        body, init, jnp.arange(options.num_samples, dtype=jnp.uint32)
+        body, init, jnp.arange(npass, dtype=jnp.uint32)
     )
     img = img / options.num_samples
     # Unswizzle: lane k holds pixel order[k].

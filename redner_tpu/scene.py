@@ -84,6 +84,13 @@ class FlatScene:
     face_normals: jnp.ndarray  # (F, 3, 3) per-corner shading normals
     face_has_normals: jnp.ndarray  # (F,) bool
     face_colors: jnp.ndarray  # (F, 3, 3) per-corner vertex colors
+    # One differentiable row per face packing [v0|v1|v2 (9), n0|n1|n2 (9),
+    # uv0|uv1|uv2 (6), c0|c1|c2 (9), has_normals (1)] = 34 floats.  TPU
+    # gathers are latency-bound per ROW (~15 ns each at 512k lanes), so
+    # the shading path fetches this one wide row per lane instead of ~8
+    # separate narrow gathers; AD transposes it to a single scatter-add
+    # per render plus one static unpack.
+    face_pack: jnp.ndarray  # (F, 34)
 
     # Materials (per-material packed textures; tuples over materials)
     mat_diffuse: Tuple[PackedTexture, ...]
@@ -282,9 +289,23 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> FlatScene:
     light_pmf = sg(power / total_power)
     light_cdf = sg(jnp.cumsum(light_pmf) - light_pmf)
 
+    face_pack = jnp.concatenate(
+        [
+            verts[faces[:, 0]],
+            verts[faces[:, 1]],
+            verts[faces[:, 2]],
+            face_normals.reshape(-1, 9),
+            face_uvs.reshape(-1, 6),
+            face_colors.reshape(-1, 9),
+            face_has_normals.astype(dtype)[:, None],
+        ],
+        axis=-1,
+    )
+
     fs = FlatScene(
         vertices=verts,
         faces=faces,
+        face_pack=face_pack,
         face_shape_id=face_shape_id,
         face_material_id=face_material_id,
         face_light_id=face_light_id,
@@ -330,23 +351,25 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> FlatScene:
 
 
 def gather_face_vertices(fs: FlatScene, tri_id):
-    """Per-corner world positions for (clamped) triangle ids (..., 3)x3."""
+    """Per-corner world positions for (clamped) triangle ids (..., 3)x3.
+
+    One wide face_pack row gather (XLA CSEs it with
+    gather_face_corner_attribs when both see the same tri_id) instead of
+    a faces gather plus three dependent vertex gathers."""
     tid = jnp.clip(tri_id, 0, fs.num_triangles - 1)
-    f = fs.faces[tid]
-    return fs.vertices[f[..., 0]], fs.vertices[f[..., 1]], fs.vertices[f[..., 2]]
+    row = fs.face_pack[tid]
+    return row[..., 0:3], row[..., 3:6], row[..., 6:9]
 
 
 def gather_face_corner_attribs(fs: FlatScene, tri_id):
     """(uv0,uv1,uv2, n0,n1,n2, has_normals, c0,c1,c2) for triangle ids."""
     tid = jnp.clip(tri_id, 0, fs.num_triangles - 1)
-    uvs = fs.face_uvs[tid]
-    ns = fs.face_normals[tid]
-    cs = fs.face_colors[tid]
+    row = fs.face_pack[tid]
     return (
-        uvs[..., 0, :], uvs[..., 1, :], uvs[..., 2, :],
-        ns[..., 0, :], ns[..., 1, :], ns[..., 2, :],
-        fs.face_has_normals[tid],
-        cs[..., 0, :], cs[..., 1, :], cs[..., 2, :],
+        row[..., 18:20], row[..., 20:22], row[..., 22:24],
+        row[..., 9:12], row[..., 12:15], row[..., 15:18],
+        row[..., 33] > 0.5,
+        row[..., 24:27], row[..., 27:30], row[..., 30:33],
     )
 
 

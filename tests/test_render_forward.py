@@ -177,3 +177,29 @@ def test_envmap_only_edge_gradients():
     )(tri.vertices)
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_sample_lane_batching_matches_sequential():
+    """The image loop batches K samples into the lane axis for small
+    viewports (render.py SAMPLES_LANE_TARGET).  Batched and one-sample-
+    per-step loops must agree to summation order, including a ragged
+    tail (spp not divisible by K)."""
+    import sys
+
+    render_mod = sys.modules["redner_tpu.render"]
+    scene = shadow_scene(res=(16, 16))
+    opts = rt.RenderOptions(num_samples=3, max_bounces=1)
+    saved = render_mod.SAMPLES_LANE_TARGET
+    try:
+        render_mod.SAMPLES_LANE_TARGET = 1  # K = 1: sequential loop
+        seq = jax.jit(
+            lambda s: render_mod._render_image_impl(s, opts, seed=9)
+        )(scene)
+        render_mod.SAMPLES_LANE_TARGET = 2 * 16 * 16  # K = 2, npass = 2
+        batched = jax.jit(
+            lambda s: render_mod._render_image_impl(s, opts, seed=9)
+        )(scene)
+    finally:
+        render_mod.SAMPLES_LANE_TARGET = saved
+    assert bool(jnp.all(jnp.isfinite(batched)))
+    assert jnp.allclose(seq, batched, rtol=1e-5, atol=1e-6)

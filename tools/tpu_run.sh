@@ -1,0 +1,17 @@
+#!/bin/bash
+# Run a python script on the axon TPU, retrying while the tunnel grant
+# from a previous process is still being released ("Backend 'axon' is
+# not in the list of known backends").
+for i in $(seq 1 12); do
+  out=$(timeout "${TPU_TIMEOUT:-1200}" python "$@" 2>&1)
+  code=$?
+  if echo "$out" | grep -qE "not in the list of known backends|TPU backend error"; then
+    sleep 20
+    continue
+  fi
+  echo "$out"
+  exit $code
+done
+echo "$out"
+echo "tpu_run: axon backend never came up" >&2
+exit 1
