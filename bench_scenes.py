@@ -101,7 +101,7 @@ def main():
     if "bunny_box" in which:
         bench_one("bunny_box GI", bunny_box_scene(res=res), 4, 2, res)
     if "teapot_x9" in which:
-        bench_one("teapot_x9 cluster", teapot_grid_scene(res=res), 4, 1, res)
+        bench_one("teapot_x9", teapot_grid_scene(res=res), 4, 1, res)
 
 
 if __name__ == "__main__":

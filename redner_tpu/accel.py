@@ -151,8 +151,18 @@ def occluded_bruteforce(fs, ray: Ray) -> jnp.ndarray:
     return jax.lax.stop_gradient(blocked & live).reshape(ray.org.shape[:-1])
 
 
-# Above this count the clustered traversal takes over from the full sweep.
+# Above this count the clustered traversal takes over from the full
+# XLA matmul sweep (which materializes (rays, 4*tris) terms to HBM).
 MM_MAX_TRIS = 16384
+
+# The Pallas engine scales much further: its tile-chunk culling visits
+# only active (tile, chunk) pairs and the coefficient table streams from
+# HBM chunk-by-chunk, so the triangle count only grows the (cheap) mask
+# computation and the step tables.  Measured at 141k tris the clustered
+# engine managed 0.14M rays/s while the Pallas sweep does the same scene
+# at full speed.  Bounded by SMEM for the scalar-prefetch step tables
+# (3 x ntile*nchunks int32).
+PALLAS_MAX_TRIS = 1 << 20
 
 
 def _on_tpu() -> bool:
@@ -171,11 +181,12 @@ def build_accel_cache(fs):
     Returns a dict of stop-gradiented arrays keyed by engine, stored on
     FlatScene.accel_cache; engines fall back to inline builds when absent.
     """
-    if fs.num_triangles <= MM_MAX_TRIS:
-        if _on_tpu():
+    if _on_tpu():
+        if fs.num_triangles <= PALLAS_MAX_TRIS:
             from redner_tpu.ops.pallas_intersect import build_coeff_layout
 
             return build_coeff_layout(fs)
+    elif fs.num_triangles <= MM_MAX_TRIS:
         from redner_tpu.ops.intersect import build_coeff_table
 
         return build_coeff_table(fs)
@@ -192,11 +203,12 @@ def intersect(fs, ray: Ray, presorted: bool = False) -> Intersection:
     coherent (e.g. swizzled primary rays), so the engines skip their
     Morton coherence sort — the sort's per-lane permutation gather and
     unsort scatter are a measured ~40% of the intersect wall clock."""
-    if fs.num_triangles <= MM_MAX_TRIS:
-        if _on_tpu():
+    if _on_tpu():
+        if fs.num_triangles <= PALLAS_MAX_TRIS:
             from redner_tpu.ops.pallas_intersect import intersect_pallas
 
             return intersect_pallas(fs, ray, presorted=presorted)
+    elif fs.num_triangles <= MM_MAX_TRIS:
         from redner_tpu.ops.intersect import intersect_mm
 
         return intersect_mm(fs, ray)
@@ -206,11 +218,12 @@ def intersect(fs, ray: Ray, presorted: bool = False) -> Intersection:
 
 
 def occluded(fs, ray: Ray, presorted: bool = False) -> jnp.ndarray:
-    if fs.num_triangles <= MM_MAX_TRIS:
-        if _on_tpu():
+    if _on_tpu():
+        if fs.num_triangles <= PALLAS_MAX_TRIS:
             from redner_tpu.ops.pallas_intersect import occluded_pallas
 
             return occluded_pallas(fs, ray, presorted=presorted)
+    elif fs.num_triangles <= MM_MAX_TRIS:
         from redner_tpu.ops.intersect import occluded_mm
 
         return occluded_mm(fs, ray)

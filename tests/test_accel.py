@@ -104,3 +104,27 @@ def test_large_scene_cluster_dispatch_renders():
     )
     assert bool(jnp.all(jnp.isfinite(img)))
     assert float(img.sum()) > 0
+
+
+def test_pallas_kernel_large_scene_interpret():
+    """>MM_MAX_TRIS scenes run the Pallas engine on TPU (accel.py
+    PALLAS_MAX_TRIS); its culled sweep must agree with the clustered
+    engine at that scale (interpret mode on CPU)."""
+    import sys
+
+    from redner_tpu.ops.pallas_intersect import (intersect_pallas,
+                                                 occluded_pallas)
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship_scene
+
+    scene = _flagship_scene(res=(8, 8), n_seg=92)
+    fs2 = flatten_scene(scene)
+    assert fs2.num_triangles > accel.MM_MAX_TRIS
+    ray = _random_rays(600, seed=7)
+    a = intersect_clustered(fs2, ray)
+    b = intersect_pallas(fs2, ray, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+    occ_a = occluded_clustered(fs2, ray)
+    occ_b = occluded_pallas(fs2, ray, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
