@@ -283,10 +283,17 @@ def _prepare_rays(ray: Ray, sort_rays: bool):
     if sort_rays:
         live0 = jnp.sum(d * d, axis=-1) > 0
         perm = _coherence_order(org, d, live0)
-        org = org[perm]
-        d = d[perm]
-        tmin = tmin[perm]
-        tmax = tmax[perm]
+        # One packed row gather instead of four: TPU gathers are
+        # latency-bound per ROW, so permuting [org|d|tmin|tmax] as a
+        # single (N, 8) fetch costs one gather, not four (the org gather
+        # alone measured 5 ms per render at 131k bounce rays).
+        packed = jnp.concatenate(
+            [org, d, tmin[:, None], tmax[:, None]], axis=-1
+        )[perm]
+        org = packed[:, 0:3]
+        d = packed[:, 3:6]
+        tmin = packed[:, 6]
+        tmax = packed[:, 7]
     else:
         perm = None
     n = org.shape[0]

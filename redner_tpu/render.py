@@ -513,6 +513,7 @@ def trace_radiance(
     primary_isect: Optional[Intersection] = None,
     return_primary_valid: bool = False,
     return_emission: bool = False,
+    coherent: bool = False,
 ):
     """Full-path radiance estimate for arbitrary primary rays -> (n, 3).
 
@@ -598,7 +599,12 @@ def trace_radiance(
                 tmin=jnp.concatenate([sray.tmin, bsdf_ray.tmin]),
                 tmax=jnp.concatenate([sray.tmax, bsdf_ray.tmax]),
             )
-            both_isect = accel.intersect(fs, both)
+            # coherent lanes (swizzled pixels): bounce-ray ORIGINS are the
+            # hit points of a 16x32 screen block — already spatially tight
+            # per 512-ray tile, so the Morton coherence sort only buys a
+            # finer direction split; skipping it avoids the permute gather
+            # + unsort scatter.
+            both_isect = accel.intersect(fs, both, presorted=coherent)
             blocked = both_isect.valid[:n]
             bsdf_isect = Intersection(
                 tri_id=both_isect.tri_id[n:],
@@ -608,7 +614,7 @@ def trace_radiance(
             nee = _nee_contribution(fs, lm, sp, wi, min_rough, ls, blocked)
         else:
             nee = jnp.zeros((n, 3), dtype)
-            bsdf_isect = accel.intersect(fs, bsdf_ray)
+            bsdf_isect = accel.intersect(fs, bsdf_ray, presorted=coherent)
         bsdf_sp, bsdf_diff = _surface_point_at(fs, bsdf_isect, bsdf_ray, wo_diff)
 
         scatter, scatter_bsdf = _scatter_contribution(
@@ -746,6 +752,7 @@ def render_sample(
         radiance = trace_radiance(
             fs, options, seed, pixel_ids, sample_id, ray, ray_diff,
             dim_start=dim.dim, primary_isect=isect,
+            coherent=primary_rays is None and pixel_order is not None,
         )
         roff = ci.radiance_dimension
         img = img.at[:, roff : roff + 3].add(radiance)
