@@ -5,7 +5,7 @@
 for i in $(seq 1 12); do
   out=$(timeout "${TPU_TIMEOUT:-1200}" python "$@" 2>&1)
   code=$?
-  if echo "$out" | grep -qE "not in the list of known backends|TPU backend error"; then
+  if echo "$out" | grep -qE "not in the list of known backends|TPU backend error|Unable to initialize backend 'axon'|UNAVAILABLE"; then
     sleep 20
     continue
   fi
