@@ -264,7 +264,9 @@ def _sample_primary_edges(
     edge_seed = seed + sampler_mod.EDGE_SEED_OFFSET
     u = sampler_mod.uniforms(edge_seed, eids, 0, 0, 2)
     if lane_sharding is not None:
-        u = jax.lax.with_sharding_constraint(u, lane_sharding)
+        from redner_tpu.core.shardutil import constrain_divisible
+
+        u = constrain_divisible(u, lane_sharding)
     sel = jnp.clip(
         vm.searchsorted_right(sg(cdf), u[:, 0]) - 1, 0, cdf.shape[0] - 1
     )

