@@ -64,9 +64,16 @@ class Scene:
         self.area_lights = list(area_lights or [])
 
     def _spec(self, reg):
+        shape_specs = [s._spec(reg) for s in self.shapes]
+        # pyredner shapes carry no light id — emission is defined by
+        # AreaLight.shape_id alone (pyredner/scene.py) — so wire the
+        # native per-shape light_id here rather than relying on callers.
+        for i, l in enumerate(self.area_lights):
+            if 0 <= l.shape_id < len(shape_specs):
+                shape_specs[l.shape_id]["light_id"] = i
         return {
             "camera": self.camera._spec(reg),
-            "shapes": [s._spec(reg) for s in self.shapes],
+            "shapes": shape_specs,
             "materials": [m._spec(reg) for m in self.materials],
             "area_lights": [l._spec(reg) for l in self.area_lights],
             "envmap": (None if self.envmap is None

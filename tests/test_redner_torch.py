@@ -185,3 +185,26 @@ def test_mitsuba_roundtrip_scene():
     assert all(isinstance(s.vertices, torch.Tensor) for s in scene.shapes)
     img = rtt.render_pathtracing(scene, num_samples=1, max_bounces=1, seed=0)
     assert bool(torch.isfinite(img).all())
+
+
+def test_explicit_constructor_wires_area_lights():
+    """pyredner semantics: Scene(camera, shapes, materials, area_lights)
+    defines emission purely by AreaLight.shape_id — the mirror must wire
+    the native per-shape light ids itself."""
+    cam = rtt.Camera(position=[0.0, 0.0, -5.0], look_at=[0.0, 0.0, 0.0],
+                     up=[0.0, 1.0, 0.0], fov=[45.0], resolution=(8, 8))
+    tri = rtt.Shape(
+        vertices=[[-1.7, 1.0, 0.0], [1.0, 1.0, 0.0], [-0.5, -1.0, 0.0]],
+        indices=[[0, 1, 2]], material_id=0)
+    lshape = rtt.Shape(
+        vertices=[[-1.0, -1.0, -7.0], [1.0, -1.0, -7.0],
+                  [-1.0, 1.0, -7.0], [1.0, 1.0, -7.0]],
+        indices=[[0, 1, 2], [1, 3, 2]], material_id=1)
+    mats = [rtt.Material(diffuse_reflectance=[0.5, 0.4, 0.3]),
+            rtt.Material(diffuse_reflectance=[0.0, 0.0, 0.0])]
+    lights = [rtt.AreaLight(shape_id=1, intensity=[20.0, 20.0, 20.0])]
+    scene = rtt.Scene(camera=cam, shapes=[tri, lshape], materials=mats,
+                      area_lights=lights)
+    img = rtt.render_pathtracing(scene, num_samples=2, max_bounces=1, seed=0)
+    assert bool(torch.isfinite(img).all())
+    assert float(img.sum()) > 0  # the light actually emits
