@@ -80,8 +80,13 @@ def test_cornell_color_bleeding():
 
 
 def test_cornell_gradients_finite_multibounce():
+    # Gradients at 2 bounces: the secondary-edge surrogate replays the
+    # bounce loop per bounce, so the 3-bounce GRAD graph alone took ~5 min
+    # to compile (16% of the suite); 2 bounces covers the same multibounce
+    # code paths.  Deep-bounce forward coverage lives in the 3-bounce
+    # forward check below.
     scene = cornell_box(res=(8, 8))
-    o = rt.RenderOptions(num_samples=2, max_bounces=3)
+    o = rt.RenderOptions(num_samples=2, max_bounces=2)
 
     def loss(s):
         return jnp.sum(rt.render(s, o, seed=1))
@@ -90,3 +95,11 @@ def test_cornell_gradients_finite_multibounce():
     for leaf in jax.tree_util.tree_leaves(g):
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
             assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_cornell_forward_finite_three_bounces():
+    scene = cornell_box(res=(8, 8))
+    o = rt.RenderOptions(num_samples=2, max_bounces=3)
+    img = rt.render_image(scene, o, seed=1)
+    assert bool(jnp.all(jnp.isfinite(img)))
+    assert float(img.sum()) > 0
