@@ -43,8 +43,13 @@ from redner_torch.render_utils import (AmbientLight, DeferredLight,
                                        SpotLight, render_albedo,
                                        render_deferred, render_g_buffer,
                                        render_generic, render_pathtracing)
-from redner_torch.utils import (generate_quad_light, generate_sphere,
-                                linear_to_srgb, srgb_to_linear)
+from redner_torch.utils import (SH, SH_reconstruct, generate_quad_light,
+                                generate_sphere, linear_to_srgb,
+                                srgb_to_linear)
+from redner_torch.geometry_images import generate_geometry_image
+from redner_tpu.render_grad import (get_use_correlated_random_number,
+                                    set_use_correlated_random_number)
+from redner_tpu.timing import (get_print_timing, set_print_timing)
 from redner_torch.load_obj import load_obj
 from redner_torch.save_obj import save_mtl, save_obj
 from redner_torch.load_mitsuba import load_mitsuba

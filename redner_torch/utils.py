@@ -56,3 +56,31 @@ def linear_to_srgb(x: torch.Tensor) -> torch.Tensor:
         x <= 0.0031308, x * 12.92,
         1.055 * x.clamp_min(1e-12).pow(1.0 / 2.4) - 0.055,
     )
+
+
+def SH(l, m, theta, phi) -> torch.Tensor:
+    """Real spherical harmonic Y_l^m at (theta, phi), torch in/out
+    (reference pyredner/utils.py:34-43)."""
+    import jax.numpy as jnp
+    from redner_tpu.utils import sh_basis
+
+    theta_j = jnp.asarray(_np(theta))
+    phi_j = jnp.asarray(_np(phi))
+    st = jnp.sin(theta_j)
+    d = jnp.stack(
+        [st * jnp.cos(phi_j), st * jnp.sin(phi_j), jnp.cos(theta_j)], axis=-1
+    )
+    basis = sh_basis(l + 1, d.reshape(-1, 3))
+    val = basis[:, l * (l + 1) + m].reshape(jnp.shape(theta_j))
+    return torch.as_tensor(np.array(val), dtype=torch.float32)
+
+
+def SH_reconstruct(coeffs, res) -> torch.Tensor:
+    """Lat-long image from SH coefficients (reference
+    pyredner/utils.py:44-62); coeffs (C, 3) torch -> (H, W, 3) torch."""
+    import redner_tpu as rt
+    from redner_torch.device import get_device
+
+    img = rt.sh_reconstruct(_np(coeffs), tuple(res))
+    return torch.as_tensor(np.array(img), dtype=torch.float32,
+                           device=get_device())

@@ -208,3 +208,19 @@ def test_explicit_constructor_wires_area_lights():
     img = rtt.render_pathtracing(scene, num_samples=2, max_bounces=1, seed=0)
     assert bool(torch.isfinite(img).all())
     assert float(img.sum()) > 0  # the light actually emits
+
+
+def test_sh_and_geometry_image_utilities():
+    theta = torch.tensor([0.3, 1.2, 2.5])
+    phi = torch.tensor([0.1, 2.0, 4.0])
+    # Y_0^0 is the constant 1/(2 sqrt(pi))
+    y00 = rtt.SH(0, 0, theta, phi)
+    np.testing.assert_allclose(y00.numpy(), np.full(3, 0.28209479),
+                               rtol=1e-5)
+    img = rtt.SH_reconstruct(torch.rand(9, 3), (8, 16))
+    assert img.shape == (16, 8, 3) and bool(torch.isfinite(img).all())
+    v, i, uvs = rtt.generate_geometry_image(4)
+    assert v.shape == (25, 3) and i.shape == (32, 3) and uvs.shape == (25, 2)
+    rtt.set_print_timing(False)
+    rtt.set_use_correlated_random_number(False)
+    assert rtt.get_print_timing() is False
