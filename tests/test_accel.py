@@ -128,3 +128,30 @@ def test_pallas_kernel_large_scene_interpret():
     occ_a = occluded_clustered(fs2, ray)
     occ_b = occluded_pallas(fs2, ray, interpret=True)
     np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
+
+
+def test_pallas_presorted_matches_sorted_interpret():
+    """presorted=True only skips the Morton coherence sort — hit results
+    must be identical to the sorting path (render.py passes it for
+    swizzled primary and bounce rays).  Needs > 8 chunks (4096 tris) or
+    the sort is gated off and both paths are trivially the same."""
+    import sys
+
+    from redner_tpu.ops.pallas_intersect import (intersect_pallas,
+                                                 occluded_pallas)
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship_scene
+
+    fs = flatten_scene(_flagship_scene(res=(8, 8), n_seg=40))  # 6400 tris
+    assert fs.num_triangles > 8 * 512
+    ray = _random_rays(700, seed=11)
+    a = intersect_pallas(fs, ray, interpret=True)
+    b = intersect_pallas(fs, ray, interpret=True, presorted=True)
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+    finite = np.isfinite(np.asarray(a.t))
+    np.testing.assert_allclose(np.asarray(a.t)[finite],
+                               np.asarray(b.t)[finite], rtol=1e-5)
+    occ_a = occluded_pallas(fs, ray, interpret=True)
+    occ_b = occluded_pallas(fs, ray, interpret=True, presorted=True)
+    np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
