@@ -77,8 +77,16 @@ def main():
     import numpy as _np
 
     def run_and_fence(fn, arg):
+        # Materialize one FLOAT leaf: device execution is in-order, so
+        # fetching any output of the last enqueued iteration fences the
+        # queue without inflating the timing with a full-tree transfer.
+        # (The FIRST leaf of a gradient pytree may be an integer/float0
+        # leaf that jnp.sum rejects — pick a float one.)
         out = fn(arg)
-        leaf = jax.tree_util.tree_leaves(out)[0]
+        leaf = next(
+            l for l in jax.tree_util.tree_leaves(out)
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        )
         return _np.asarray(jnp.sum(leaf))
 
     run_and_fence(fwd, scene)

@@ -74,7 +74,14 @@ def bench_one(name, scene, spp, max_bounces, res, iters=10):
     fwdbwd = jax.jit(jax.grad(loss, allow_int=True))
 
     def fence(out):
-        return np.asarray(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        # One FLOAT leaf (the first grad leaf may be integer/float0, and
+        # a full-tree transfer would inflate the timing); execution is
+        # in-order so one output fences the queue.
+        leaf = next(
+            l for l in jax.tree_util.tree_leaves(out)
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        )
+        return np.asarray(jnp.sum(leaf))
 
     fence(fwdbwd(scene))  # compile + warmup
     t0 = time.perf_counter()

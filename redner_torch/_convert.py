@@ -15,10 +15,7 @@ from redner_torch.shape import Shape
 from redner_torch.texture import Texture
 
 
-def _t(x, dtype=torch.float32):
-    if x is None:
-        return None
-    return torch.as_tensor(np.array(x, copy=True), dtype=dtype)
+from redner_torch._tensor import _np, _t  # noqa: F401
 
 
 def texture_from_jax(tex) -> Texture:

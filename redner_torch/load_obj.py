@@ -7,6 +7,8 @@ from typing import NamedTuple, Optional
 import numpy as np
 import torch
 
+from redner_torch._tensor import _t
+
 
 class TriangleMesh(NamedTuple):
     vertices: torch.Tensor
@@ -17,8 +19,6 @@ class TriangleMesh(NamedTuple):
     normal_indices: Optional[torch.Tensor]
 
 
-def _t(x, dtype=torch.float32):
-    return None if x is None else torch.as_tensor(np.array(x), dtype=dtype)
 
 
 def load_obj(filename: str, obj_group: bool = True,

@@ -9,6 +9,7 @@ import numpy as np
 import torch
 
 from redner_torch.texture import _as_tensor
+from redner_torch._tensor import _np
 
 
 def _as_int_tensor(x):
@@ -61,8 +62,6 @@ class Shape:
         }
 
 
-def _np(x):
-    return x.detach().cpu().numpy() if isinstance(x, torch.Tensor) else np.asarray(x)
 
 
 def compute_vertex_normal(vertices, indices, weighting_scheme="max") -> torch.Tensor:

@@ -8,14 +8,9 @@ import torch
 
 import redner_tpu.core.transform as xf
 
-
-def _np(x):
-    return (x.detach().cpu().numpy() if isinstance(x, torch.Tensor)
-            else np.asarray(x, np.float32))
+from redner_torch._tensor import _np, _t
 
 
-def _t(x):
-    return torch.as_tensor(np.array(x), dtype=torch.float32)
 
 
 def gen_look_at_matrix(pos, look, up) -> torch.Tensor:

@@ -6,13 +6,11 @@ from __future__ import annotations
 import numpy as np
 import torch
 
+from redner_torch._tensor import _np
 from redner_torch.object import Object
 from redner_torch.material import Material
 
 
-def _np(x):
-    return (x.detach().cpu().numpy() if isinstance(x, torch.Tensor)
-            else np.asarray(x))
 
 
 def generate_sphere(theta_steps: int, phi_steps: int):

@@ -246,12 +246,31 @@ def _sample_primary_edges(
     if front_ok is not None:
         valid0 = front_ok
         valid1 = front_ok
-    t0, t1, clip_ok = _clip_segment_screen(
-        sg(p0_pix), sg(p1_pix), valid0, valid1,
-        float(camera.width), float(camera.height),
+    nonlinear_cam = (
+        camera.camera_type in (CameraType.fisheye, CameraType.panorama)
+        or camera.has_distortion
     )
-    use = sil & clip_ok
-    seg_len = vm.length(sg(p1_pix) - sg(p0_pix)) * (t1 - t0)
+    if nonlinear_cam:
+        # A 3D line images to a CURVE under these cameras, so clipping the
+        # sampling support to the chord's viewport intersection would
+        # zero the pmf on edges whose arc crosses the screen while the
+        # chord misses it — a bias, not just variance.  Sample the whole
+        # (near-clipped) segment: the per-sample `inside` mask zeroes
+        # off-screen samples and the pdf uses the true arc Jacobian, so
+        # this stays unbiased.  The chord length remains the importance,
+        # floored so arcs whose endpoints project together (panorama
+        # wrap) keep nonzero probability.
+        t0 = jnp.zeros(p0_pix.shape[:-1], dtype)
+        t1 = jnp.ones(p0_pix.shape[:-1], dtype)
+        use = sil if front_ok is None else (sil & front_ok)
+        seg_len = vm.length(sg(p1_pix) - sg(p0_pix)) + 1.0
+    else:
+        t0, t1, clip_ok = _clip_segment_screen(
+            sg(p0_pix), sg(p1_pix), valid0, valid1,
+            float(camera.width), float(camera.height),
+        )
+        use = sil & clip_ok
+        seg_len = vm.length(sg(p1_pix) - sg(p0_pix)) * (t1 - t0)
     weight_len = jnp.where(use, seg_len, 0.0)
     total = jnp.sum(weight_len)
     any_edges = total > 0

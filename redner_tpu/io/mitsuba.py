@@ -350,8 +350,6 @@ def load_mitsuba(filename: str, on_missing_mesh: str = "error"):
             to_world = np.eye(4, dtype=np.float32)
             mat_idx = None
             emission = None
-            fname = None
-            serialized_idx = 0
             for child in node:
                 if child.tag == "transform":
                     to_world = parse_transform(child)
@@ -364,10 +362,7 @@ def load_mitsuba(filename: str, on_missing_mesh: str = "error"):
                     mat_idx = material_index(m, child.attrib.get("id", ""))
                 elif child.tag == "emitter":
                     emission = _rgb_of(child, "radiance", [1.0, 1.0, 1.0])
-                elif child.tag == "string" and child.attrib.get("name") == "filename":
-                    fname = child.attrib["value"]
-                elif child.tag == "integer" and child.attrib.get("name") == "shapeIndex":
-                    serialized_idx = int(child.attrib["value"])
+                # mesh filename/shapeIndex are parsed by _shape_geometry
 
             if stype == "shapegroup":
                 # Instanced geometry container (reference
@@ -386,8 +381,12 @@ def load_mitsuba(filename: str, on_missing_mesh: str = "error"):
             if stype == "instance":
                 geo = None
                 for child in node:
+                    # Only shapegroup refs carry geometry — a material
+                    # <ref> after the shapegroup ref must not reset geo.
                     if child.tag == "ref":
-                        geo = shape_groups.get(child.attrib.get("id"))
+                        rid = child.attrib.get("id")
+                        if rid in shape_groups:
+                            geo = shape_groups[rid]
                 if geo is None:
                     continue
                 verts, idx, uvs, normals = geo

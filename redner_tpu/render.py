@@ -821,10 +821,9 @@ def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
     # and are dropped before the unswizzle).
     n_pad = n
     if pixel_sharding is not None:
-        nd = getattr(pixel_sharding, "num_devices", None)
-        if nd is None:
-            mesh_ = getattr(pixel_sharding, "mesh", None)
-            nd = mesh_.size if mesh_ is not None else 1
+        from redner_tpu.core.shardutil import shard_count
+
+        nd = shard_count(pixel_sharding)
         n_pad = -(-n // nd) * nd
         if n_pad != n:
             order = jnp.concatenate(

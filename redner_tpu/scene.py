@@ -80,10 +80,6 @@ class FlatScene:
     face_shape_id: jnp.ndarray  # (F,) int32
     face_material_id: jnp.ndarray  # (F,) int32
     face_light_id: jnp.ndarray  # (F,) int32, -1 if not emissive
-    face_uvs: jnp.ndarray  # (F, 3, 2) per-corner uv
-    face_normals: jnp.ndarray  # (F, 3, 3) per-corner shading normals
-    face_has_normals: jnp.ndarray  # (F,) bool
-    face_colors: jnp.ndarray  # (F, 3, 3) per-corner vertex colors
     # One differentiable row per face packing [v0|v1|v2 (9), n0|n1|n2 (9),
     # uv0|uv1|uv2 (6), c0|c1|c2 (9), has_normals (1)] = 34 floats.  TPU
     # gathers are latency-bound per ROW (~15 ns each at 512k lanes), so
@@ -309,10 +305,6 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> FlatScene:
         face_shape_id=face_shape_id,
         face_material_id=face_material_id,
         face_light_id=face_light_id,
-        face_uvs=face_uvs,
-        face_normals=face_normals,
-        face_has_normals=face_has_normals,
-        face_colors=face_colors,
         mat_diffuse=mat_diffuse,
         mat_specular=mat_specular,
         mat_roughness=mat_roughness,
