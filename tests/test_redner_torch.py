@@ -221,6 +221,15 @@ def test_sh_and_geometry_image_utilities():
     assert img.shape == (16, 8, 3) and bool(torch.isfinite(img).all())
     v, i, uvs = rtt.generate_geometry_image(4)
     assert v.shape == (25, 3) and i.shape == (32, 3) and uvs.shape == (25, 2)
-    rtt.set_print_timing(False)
-    rtt.set_use_correlated_random_number(False)
-    assert rtt.get_print_timing() is False
+    # Exercise the global toggles, restoring them (correlated replay is a
+    # process-wide default other tests rely on).
+    old_timing = rtt.get_print_timing()
+    old_corr = rtt.get_use_correlated_random_number()
+    try:
+        rtt.set_print_timing(False)
+        rtt.set_use_correlated_random_number(False)
+        assert rtt.get_print_timing() is False
+        assert rtt.get_use_correlated_random_number() is False
+    finally:
+        rtt.set_print_timing(old_timing)
+        rtt.set_use_correlated_random_number(old_corr)
