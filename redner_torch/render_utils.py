@@ -80,8 +80,20 @@ class SpotLight(DeferredLight):
                 * cos * albedo)
 
 
+def _batch_seeds(seed, n: int):
+    """Reference semantics (pyredner/render_utils.py:139): a batch render
+    takes either one seed (decorrelated per element here, like the
+    reference's None default) or a list with one seed per scene."""
+    if isinstance(seed, (list, tuple)):
+        if len(seed) != n:
+            raise ValueError(
+                f"batch render got {n} scenes but {len(seed)} seeds")
+        return list(seed)
+    return [seed + i for i in range(n)]
+
+
 def render_g_buffer(
-    scene: Scene,
+    scene: Union[Scene, List[Scene]],
     channels: Sequence[Channels],
     num_samples: int = 1,
     max_bounces: int = 0,
@@ -89,6 +101,15 @@ def render_g_buffer(
     sampler_type: SamplerType = SamplerType.sobol,
     seed: int = 0,
 ) -> torch.Tensor:
+    if isinstance(scene, (list, tuple)):
+        seeds = _batch_seeds(seed, len(scene))
+        return torch.stack([
+            render_g_buffer(s, channels, num_samples=num_samples,
+                            max_bounces=max_bounces,
+                            sample_pixel_center=sample_pixel_center,
+                            sampler_type=sampler_type, seed=sd)
+            for s, sd in zip(scene, seeds)
+        ])
     args = serialize_scene(
         scene, num_samples=num_samples, max_bounces=max_bounces,
         channels=tuple(channels), sampler_type=sampler_type,
@@ -121,12 +142,19 @@ def _upscaled_scene(scene: Scene, aa: int) -> Scene:
 
 
 def render_deferred(
-    scene: Scene,
+    scene: Union[Scene, List[Scene]],
     lights: Sequence[DeferredLight],
     alpha: bool = False,
     aa_samples: int = 2,
     seed: int = 0,
 ) -> torch.Tensor:
+    if isinstance(scene, (list, tuple)):
+        seeds = _batch_seeds(seed, len(scene))
+        return torch.stack([
+            render_deferred(s, lights, alpha=alpha, aa_samples=aa_samples,
+                            seed=sd)
+            for s, sd in zip(scene, seeds)
+        ])
     scene_up = _upscaled_scene(scene, aa_samples)
     channels = [Channels.position, Channels.shading_normal,
                 Channels.diffuse_reflectance]
@@ -154,11 +182,6 @@ def render_albedo(
     channels = [Channels.diffuse_reflectance]
     if alpha:
         channels.append(Channels.alpha)
-    if isinstance(scene, (list, tuple)):
-        return torch.stack([
-            render_g_buffer(s, channels, num_samples=num_samples, seed=seed + i)
-            for i, s in enumerate(scene)
-        ])
     return render_g_buffer(scene, channels, num_samples=num_samples, seed=seed)
 
 
@@ -173,20 +196,13 @@ def render_pathtracing(
     channels = [Channels.radiance]
     if alpha:
         channels.append(Channels.alpha)
-    if isinstance(scene, (list, tuple)):
-        return torch.stack([
-            render_g_buffer(s, channels, num_samples=num_samples,
-                            max_bounces=max_bounces,
-                            sampler_type=sampler_type, seed=seed + i)
-            for i, s in enumerate(scene)
-        ])
     return render_g_buffer(scene, channels, num_samples=num_samples,
                            max_bounces=max_bounces, sampler_type=sampler_type,
                            seed=seed)
 
 
 def render_generic(
-    scene: Scene,
+    scene: Union[Scene, List[Scene]],
     channels: Sequence[Channels],
     max_bounces: int = 1,
     sampler_type: SamplerType = SamplerType.sobol,
