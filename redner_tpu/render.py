@@ -65,6 +65,7 @@ class RenderOptions:
         use_secondary_edge_sampling: bool = True,
         num_edge_samples: Optional[int] = None,
         max_generic_texture_dimension: int = 16,
+        remat: bool = False,
     ):
         # (forward, backward) sample counts, reference-style: an int means
         # both passes use it (pyredner num_samples tuple semantics).
@@ -82,6 +83,16 @@ class RenderOptions:
         self.use_secondary_edge_sampling = bool(use_secondary_edge_sampling)
         # Edge rays per pixel-sample in the backward pass
         self.num_edge_samples = num_edge_samples
+        # Rematerialize each sample pass in the backward sweep
+        # (jax.checkpoint on the sample-scan body): AD residuals drop from
+        # O(pixels x passes) to O(pixels) at the cost of re-running the
+        # forward per pass.  The reference makes the same trade by
+        # re-rendering in backward instead of checkpointing PathBuffers
+        # across samples (src/pathtracer.cpp:392 re-render, A.5).  Off by
+        # default: measured on the teapot bench (256x256 4spp, v5e) it
+        # costs ~1.55x fwd+bwd wall clock (130.6 -> 202.5 ms); enable for
+        # large images / high spp where residuals would spill HBM.
+        self.remat = bool(remat)
 
     # Hashable so it can be a static jit argument.
     def _key(self):
@@ -96,6 +107,7 @@ class RenderOptions:
             self.use_primary_edge_sampling,
             self.use_secondary_edge_sampling,
             self.num_edge_samples,
+            self.remat,
         )
 
     def __hash__(self):
@@ -845,6 +857,11 @@ def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
             "knc,k->nc", contrib.reshape(K, n_pad, ci.num_total_dimensions), w
         )
         return acc + constrain(contrib), None
+
+    if options.remat:
+        # prevent_cse=False: inside lax.scan the loop boundary already
+        # blocks CSE between the forward and the recompute.
+        body = jax.checkpoint(body, prevent_cse=False)
 
     init = constrain(
         jnp.zeros((n_pad, ci.num_total_dimensions), fs.vertices.dtype)

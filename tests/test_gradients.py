@@ -143,3 +143,21 @@ def test_forward_backward_sample_counts():
     )(scene.shapes[0].vertices)
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_remat_matches_default():
+    """RenderOptions(remat=True) checkpoints the sample-scan body
+    (rematerialized backward, reference A.5 store-vs-recompute trade):
+    image must be bit-identical and gradients must match the default."""
+    scene = single_triangle_scene(res=(8, 8))
+    opts = rt.RenderOptions(num_samples=4, max_bounces=1)
+    opts_r = rt.RenderOptions(num_samples=4, max_bounces=1, remat=True)
+    assert opts != opts_r  # distinct jit-cache keys
+    img = rt.render_image(scene, opts, seed=5)
+    img_r = rt.render_image(scene, opts_r, seed=5)
+    assert bool(jnp.all(img == img_r))
+    loss, verts = _loss_for_vertices(scene, opts)
+    loss_r, _ = _loss_for_vertices(scene, opts_r)
+    g = jax.grad(loss)(verts)
+    g_r = jax.grad(loss_r)(verts)
+    assert jnp.allclose(g, g_r, rtol=1e-5, atol=1e-7), (g, g_r)
