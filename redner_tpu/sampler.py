@@ -153,7 +153,11 @@ _JOE_KUO = [
     (7, 1, [1, 3, 7, 11, 23, 15, 103]),
     (7, 4, [1, 3, 7, 13, 13, 15, 69]),
 ]
-SOBOL_TABLE_DIMS = 64  # covers the 7-dims-per-bounce schedule to 8 bounces
+# Table size matches the reference's vendored sobol.inc (1024 dims,
+# src/sobol.inc) — covers the 7-dims-per-bounce schedule to 146 bounces.
+# Generated in ~0.3 s at import (primitive polynomials to degree 13), not
+# vendored.  Dims past the table still fall back to the decorrelated hash.
+SOBOL_TABLE_DIMS = 1024
 _SOBOL_BITS = 32
 
 

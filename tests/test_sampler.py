@@ -70,8 +70,8 @@ def test_sobol_deep_dims_stratified():
     n = 256
     pix = jnp.zeros((n,), jnp.int32)
     sid = jnp.arange(n)
-    assert sampler.SOBOL_TABLE_DIMS >= 64
-    for dim in (21, 40, 63):
+    assert sampler.SOBOL_TABLE_DIMS >= 1024  # reference sobol.inc size
+    for dim in (21, 40, 63, 512, 1023):
         u = np.asarray(sampler.sobol_uniform(7, pix, sid, dim))
         strata = np.sort((u * n).astype(int))
         assert (strata == np.arange(n)).all(), (dim, strata[:8])
