@@ -511,6 +511,16 @@ def _face_emission_nee(fs, isect, wo, sp_light):
     return jnp.where(ok[..., None], intensity, 0.0), ok
 
 
+# Experiment toggle: trace NEE shadow rays through the anyhit early-exit
+# occluded() kernel instead of batching them with the continuation rays
+# into one closest-hit sweep.  Measured on the teapot bench (15.7k tris,
+# 256x256, 4spp, v5e): a wash — fwd+bwd 130.8 ms split vs 132.6 ms
+# batched; the batched sweep's amortized per-call overhead cancels what
+# anyhit's early exit saves at this scale.  Left as a switch for larger
+# scenes where early exit should eventually dominate.
+SPLIT_SHADOW_SWEEP = False
+
+
 def trace_radiance(
     fs: FlatScene,
     options: RenderOptions,
@@ -601,28 +611,36 @@ def trace_radiance(
                 options.sampler_type, seed, lane_ids, sample_id, light_dim, 4
             )
             ls = _sample_light_point(fs, sp.position, light_u)
-            # Batch the shadow and continuation rays through ONE sweep:
-            # halves the per-call kernel overhead vs occluded + intersect
-            # (a closest hit within (tmin, tmax) implies occlusion).
             sray = ls["shadow_ray"]
-            both = Ray(
-                org=jnp.concatenate([sray.org, bsdf_ray.org]),
-                dir=jnp.concatenate([sray.dir, bsdf_ray.dir]),
-                tmin=jnp.concatenate([sray.tmin, bsdf_ray.tmin]),
-                tmax=jnp.concatenate([sray.tmax, bsdf_ray.tmax]),
-            )
-            # coherent lanes (swizzled pixels): bounce-ray ORIGINS are the
-            # hit points of a 16x32 screen block — already spatially tight
-            # per 512-ray tile, so the Morton coherence sort only buys a
-            # finer direction split; skipping it avoids the permute gather
-            # + unsort scatter.
-            both_isect = accel.intersect(fs, both, presorted=coherent)
-            blocked = both_isect.valid[:n]
-            bsdf_isect = Intersection(
-                tri_id=both_isect.tri_id[n:],
-                shape_id=both_isect.shape_id[n:],
-                t=both_isect.t[n:],
-            )
+            if SPLIT_SHADOW_SWEEP:
+                # Shadow rays through the anyhit early-exit kernel,
+                # continuation rays through closest-hit.
+                blocked = accel.occluded(fs, sray, presorted=coherent)
+                bsdf_isect = accel.intersect(fs, bsdf_ray, presorted=coherent)
+            else:
+                # Batch the shadow and continuation rays through ONE sweep:
+                # halves the per-call kernel overhead vs occluded +
+                # intersect (a closest hit within (tmin, tmax) implies
+                # occlusion).  Measured on the teapot bench the anyhit
+                # split is a wash (see SPLIT_SHADOW_SWEEP).
+                both = Ray(
+                    org=jnp.concatenate([sray.org, bsdf_ray.org]),
+                    dir=jnp.concatenate([sray.dir, bsdf_ray.dir]),
+                    tmin=jnp.concatenate([sray.tmin, bsdf_ray.tmin]),
+                    tmax=jnp.concatenate([sray.tmax, bsdf_ray.tmax]),
+                )
+                # coherent lanes (swizzled pixels): bounce-ray ORIGINS are
+                # the hit points of a 16x32 screen block — already
+                # spatially tight per 512-ray tile, so the Morton coherence
+                # sort only buys a finer direction split; skipping it
+                # avoids the permute gather + unsort scatter.
+                both_isect = accel.intersect(fs, both, presorted=coherent)
+                blocked = both_isect.valid[:n]
+                bsdf_isect = Intersection(
+                    tri_id=both_isect.tri_id[n:],
+                    shape_id=both_isect.shape_id[n:],
+                    t=both_isect.t[n:],
+                )
             nee = _nee_contribution(fs, lm, sp, wi, min_rough, ls, blocked)
         else:
             nee = jnp.zeros((n, 3), dtype)
