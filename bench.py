@@ -67,8 +67,16 @@ def main():
     def loss(scene):
         return jnp.sum(rt.render_image(scene, options, seed=11))
 
+    # The PRODUCT gradient path: rt.render's custom_vjp with primary +
+    # secondary edge sampling ON — the backward IS the edge-sampled render
+    # (reference pyredner/render_pytorch.py:1050-1073,
+    # src/pathtracer.cpp:500-707).
+    def loss_edges(scene):
+        return jnp.sum(rt.render(scene, options, seed=11))
+
     fwd = jax.jit(lambda s: rt.render_image(s, options, seed=11))
     fwdbwd = jax.jit(jax.grad(loss, allow_int=True))
+    fwdbwd_edges = jax.jit(jax.grad(loss_edges, allow_int=True))
 
     # Compile + warmup.  NOTE: on the remote-TPU backend block_until_ready
     # does not guarantee execution completed; jax.device_get (full
@@ -91,29 +99,51 @@ def main():
 
     run_and_fence(fwd, scene)
     run_and_fence(fwdbwd, scene)
+    run_and_fence(fwdbwd_edges, scene)
 
     # Enqueue all iterations, fence once — the tunnel adds ~40ms per host
     # sync, so per-iteration fencing would measure latency, not compute.
     iters = 10
-    t0 = time.perf_counter()
-    outs = [fwdbwd(scene) for _ in range(iters)]
-    run_and_fence(lambda s: outs[-1], scene)
-    dt = (time.perf_counter() - t0) / iters
+
+    def time_it(fn):
+        t0 = time.perf_counter()
+        outs = [fn(scene) for _ in range(iters)]
+        run_and_fence(lambda s: outs[-1], scene)
+        return (time.perf_counter() - t0) / iters
+
+    dt_edges = time_it(fwdbwd_edges)
+    dt_ad = time_it(fwdbwd)
 
     num_pixels = res[0] * res[1]
     rays_per_sample = 1 + 2 * max_bounces
-    rays = num_pixels * spp * rays_per_sample
-    rays_per_s = rays / dt
+    fwd_rays = num_pixels * spp * rays_per_sample
+
+    # Rays actually traced by the edge-sampled backward: forward + AD
+    # re-render + primary-edge offset-ray pairs (full paths) + the fused
+    # secondary pass's edge-ray pairs (full paths per bounce).
+    n_es = options.num_edge_samples or (num_pixels * spp)
+    edge_rays = (
+        2 * fwd_rays                                 # forward + AD re-render
+        + 2 * n_es * rays_per_sample                 # primary edge pairs
+        + num_pixels * spp * 2 * max_bounces * rays_per_sample  # secondary
+    )
 
     ntris = sum(int(s.indices.shape[0]) for s in scene.shapes)
     print(
         json.dumps(
             {
-                "metric": f"fwd+bwd rays/s/chip (teapot {ntris} tris, "
+                "metric": f"fwd+bwd traced-rays/s/chip, edge-sampled "
+                          f"gradients ON (teapot {ntris} tris, "
                           f"{res[0]}x{res[1]}, {spp}spp, {max_bounces} bounce)",
-                "value": round(rays_per_s),
+                "value": round(edge_rays / dt_edges),
                 "unit": "rays/s",
                 "vs_baseline": None,
+                "edge_on_wall_ms": round(dt_edges * 1e3, 1),
+                "ad_only_wall_ms": round(dt_ad * 1e3, 1),
+                "ad_only_rays_per_s": round(fwd_rays / dt_ad),
+                "edge_on_fwd_convention_rays_per_s": round(
+                    fwd_rays / dt_edges
+                ),
             }
         )
     )

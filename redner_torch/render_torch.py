@@ -193,7 +193,11 @@ def _freeze(x):
     return x
 
 
-_bwd_cache = {}
+# LRU-bounded: the key hashes every index array's bytes, so a long torch
+# loop over CHANGING topology (progressive remeshing, the reference's
+# geometry-image use case) would otherwise grow the cache without bound.
+_BWD_CACHE_MAX = 32
+_bwd_cache = {}  # insertion-ordered dict used as an LRU
 
 
 def _get_bwd(spec, options: RenderOptions):
@@ -201,7 +205,7 @@ def _get_bwd(spec, options: RenderOptions):
     (spec structure, options).  Without this every torch backward would
     re-trace the whole render (each serialize_scene makes a fresh spec)."""
     key = (_freeze(spec), options._key())
-    fn = _bwd_cache.get(key)
+    fn = _bwd_cache.pop(key, None)  # pop+reinsert = move to MRU position
     if fn is None:
         def bwd(jleaves, seed, g):
             def f(*js):
@@ -211,7 +215,9 @@ def _get_bwd(spec, options: RenderOptions):
             return jax.vjp(f, *jleaves)[1](g)
 
         fn = jax.jit(bwd)
-        _bwd_cache[key] = fn
+    _bwd_cache[key] = fn
+    while len(_bwd_cache) > _BWD_CACHE_MAX:
+        _bwd_cache.pop(next(iter(_bwd_cache)))
     return fn
 
 

@@ -150,10 +150,17 @@ def render_deferred(
 ) -> torch.Tensor:
     if isinstance(scene, (list, tuple)):
         seeds = _batch_seeds(seed, len(scene))
+        # Reference batch semantics (pyredner/render_utils.py:267): lights
+        # may be one shared list or List[List[DeferredLight]], one light
+        # list per scene.
+        if len(lights) > 0 and isinstance(lights[0], (list, tuple)):
+            per_scene_lights = lights
+        else:
+            per_scene_lights = [lights] * len(scene)
         return torch.stack([
-            render_deferred(s, lights, alpha=alpha, aa_samples=aa_samples,
+            render_deferred(s, ls, alpha=alpha, aa_samples=aa_samples,
                             seed=sd)
-            for s, sd in zip(scene, seeds)
+            for s, ls, sd in zip(scene, per_scene_lights, seeds)
         ])
     scene_up = _upscaled_scene(scene, aa_samples)
     channels = [Channels.position, Channels.shading_normal,

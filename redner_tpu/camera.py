@@ -46,7 +46,10 @@ class Camera:
     intrinsic_mat_inv: jnp.ndarray  # (3,3)
     distortion_params: jnp.ndarray  # (8,) k1..k6, p1, p2
 
-    # Static configuration
+    # Static configuration.  NOTE: has_distortion gates the distortion
+    # math at TRACE time (the iterative inverse is expensive when unused),
+    # so `cam.replace(distortion_params=p)` on a camera built without
+    # distortion must also pass has_distortion=True.
     use_look_at: bool = struct.field(pytree_node=False, default=True)
     has_distortion: bool = struct.field(pytree_node=False, default=False)
     camera_type: CameraType = struct.field(

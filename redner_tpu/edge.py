@@ -50,6 +50,8 @@ PRIMARY_EDGE_OFFSET = 1e-6
 SECONDARY_EDGE_OFFSET = 1e-5
 # Importance-resampling candidate count (src/edge.cpp:1483-1494).
 RESAMPLE_M = 64
+# Lane cap per chunk of the primary-edge offset-ray evaluation (lax.map).
+EDGE_EVAL_CHUNK = 1 << 16
 
 
 class EdgeSoA(NamedTuple):
@@ -96,6 +98,127 @@ def build_edges(fs: FlatScene) -> EdgeSoA:
     f1 = jnp.where(same_next, jnp.roll(f_s, -1), -1)
     return EdgeSoA(
         v0=lo_s, v1=hi_s, f0=f_s, f1=f1, valid=is_first & nondegen[order]
+    )
+
+
+# 2-level secondary-edge sampler: number of spatial clusters and the
+# (derived) slot count per cluster.  The TPU-shaped stand-in for the
+# reference's 6D Hough edge BVH + LTC traversal (src/edge_tree.cpp:724-882,
+# src/edge.cpp:1115-1237): fixed two-level CDF instead of a divergent tree
+# walk — level 1 is a dense per-shading-point importance over C clusters
+# (broadcast math, no gathers), level 2 a uniform slot inside the cluster.
+EDGE_CLUSTERS = 128
+
+
+class EdgeTable(NamedTuple):
+    """Per-backward precomputed edge data for the secondary-edge pass.
+
+    Replaces the reference's per-Scene EdgeSampler tables
+    (src/edge.cpp:233-332): built ONCE per backward trace (hoisted out of
+    the sample scan) instead of re-gathered per (sample, bounce).
+
+    packed: (E, 16) stop-gradient rows [a(3) b(3) n0(3) n1(3) flag pad3] —
+    candidate scoring reads ONE wide row per (shading point, candidate)
+    lane instead of ~16 narrow gathers (TPU gathers are latency-bound per
+    row, so row width is nearly free).
+    flag: 0 = never a silhouette (invalid / coplanar interior),
+    1 = interior candidate, 2 = boundary (always silhouette).
+
+    Cluster fields (all stop-gradient): slot_edge maps (cluster, slot) ->
+    edge id (-1 pad); centers/radii/weights drive the per-shading-point
+    level-1 importance.  Morton order keeps clusters spatially tight;
+    edges that can never be silhouettes (flag 0) sort to the tail so their
+    clusters get weight 0 and are never drawn.
+    """
+
+    edges: EdgeSoA
+    packed: jnp.ndarray  # (E, 16) float rows, stop-gradiented
+    slot_edge: jnp.ndarray  # (C, S) int32 edge ids, -1 pad
+    cluster_center: jnp.ndarray  # (C, 3)
+    cluster_radius: jnp.ndarray  # (C,)
+    cluster_weight: jnp.ndarray  # (C,) total length x silhouette prior
+
+
+def build_edge_table(fs: FlatScene) -> EdgeTable:
+    sg = jax.lax.stop_gradient
+    edges = build_edges(fs)
+    a = sg(fs.vertices[edges.v0])
+    b = sg(fs.vertices[edges.v1])
+    n0 = sg(_face_normals(fs, edges.f0))
+    n1 = sg(_face_normals(fs, edges.f1))
+    boundary = edges.f1 < 0
+    coplanar = vm.dot(n0, n1) >= 1.0 - COPLANAR_EPS
+    flag = jnp.where(
+        edges.valid & (boundary | ~coplanar),
+        jnp.where(boundary, 2.0, 1.0),
+        0.0,
+    ).astype(a.dtype)
+    E = a.shape[0]
+    packed = jnp.concatenate(
+        [a, b, n0, n1, flag[:, None], jnp.zeros((E, 3), a.dtype)], axis=-1
+    )
+
+    # --- level-1/2 cluster tables ---
+    from redner_tpu.ops.cluster import _morton3
+
+    mid = 0.5 * (a + b)
+    length = vm.length(b - a)
+    # Silhouette prior: chance a random viewpoint sees the edge on a
+    # silhouette — 1 for boundary edges, exterior-dihedral/pi for interior
+    # (the reference's edge tree stores dihedral-derived cones for the
+    # same purpose, src/edge_tree.cpp:25-75).
+    dih = jnp.arccos(jnp.clip(vm.dot(n0, n1), -1.0, 1.0))
+    prior = jnp.where(
+        flag == 2.0, 1.0, jnp.where(flag == 1.0, dih / jnp.pi, 0.0)
+    )
+    w_e = length * prior  # (E,)
+
+    lo = jnp.min(mid, axis=0)
+    hi = jnp.max(mid, axis=0)
+    qz = jnp.clip(
+        (mid - lo) / jnp.maximum(hi - lo, 1e-12) * 1024.0, 0.0, 1023.0
+    )
+    codes = _morton3(qz.astype(jnp.int32))  # uint32, 30 bits used
+    # Dead edges (w_e == 0) sort to the tail (bit 31): their clusters
+    # carry zero weight and zero sampling probability.
+    key = codes | jnp.where(
+        w_e > 0, jnp.uint32(0), jnp.uint32(1) << jnp.uint32(31)
+    )
+    order = jnp.argsort(key).astype(jnp.int32)
+
+    C = max(1, min(EDGE_CLUSTERS, E))
+    S = -(-E // C)
+    pad = C * S - E
+    order_p = jnp.concatenate(
+        [order, jnp.full((pad,), -1, jnp.int32)]
+    ).reshape(C, S)
+    slot_valid = order_p >= 0
+    order_c = jnp.clip(order_p, 0, E - 1)
+    w_slot = jnp.where(slot_valid, w_e[order_c], 0.0)  # (C, S)
+    mid_slot = mid[order_c]  # (C, S, 3)
+    w_c = jnp.sum(w_slot, axis=-1)  # (C,)
+    live = w_slot > 0
+    n_live = jnp.maximum(jnp.sum(live, axis=-1), 1)
+    center = jnp.sum(
+        jnp.where(live[..., None], mid_slot, 0.0), axis=1
+    ) / n_live[:, None].astype(mid.dtype)
+    radius = jnp.sqrt(
+        jnp.max(
+            jnp.where(
+                live,
+                jnp.sum((mid_slot - center[:, None, :]) ** 2, axis=-1),
+                0.0,
+            ),
+            axis=-1,
+        )
+    )
+    return EdgeTable(
+        edges=edges,
+        packed=packed,
+        slot_edge=order_p,
+        cluster_center=center,
+        cluster_radius=radius,
+        cluster_weight=w_c,
     )
 
 
@@ -281,7 +404,14 @@ def _sample_primary_edges(
     N = num_edge_samples
     eids = jnp.arange(N, dtype=jnp.int32)
     edge_seed = seed + sampler_mod.EDGE_SEED_OFFSET
-    u = sampler_mod.uniforms(edge_seed, eids, 0, 0, 2)
+    # Honor options.sampler_type (the reference draws the 2 primary-edge
+    # dims from the selected sampler incl. Sobol, src/sampler.h:14-23,
+    # src/sobol_sampler.cpp:102-214).  QMC indexing: the edge-sample id is
+    # the QMC sample index (one shared scramble stream), so the N samples
+    # stratify jointly over (edge_sel, t) — each lane's value is a pure
+    # function of its id, preserving shard invariance.
+    u = sampler_mod.draw(options.sampler_type, edge_seed,
+                         jnp.zeros((), jnp.int32), eids, 0, 2)
     if lane_sharding is not None:
         from redner_tpu.core.shardutil import constrain_divisible
 
@@ -338,12 +468,47 @@ def _sample_primary_edges(
 
     both_org = jnp.concatenate([ray_p.org, ray_m.org])
     both_dir = jnp.concatenate([ray_p.dir, ray_m.dir])
-    both = Ray.make(both_org, both_dir)
     # Full per-channel evaluation of both offset rays (AOVs + radiance).
-    f_both = render_sample_fn(
-        fs, camera, options, edge_seed, jnp.uint32(0),
-        primary_rays=(both, RayDifferential.zero((2 * N,), dtype)),
-    )  # (2N, C)
+    # The evaluations are stop-gradiented (only the SAMPLE POSITION x_pix
+    # is differentiated), so large lane counts are chunked through lax.map
+    # — bounding the live working set at EDGE_EVAL_CHUNK lanes with zero
+    # residual cost, instead of one pixels*spp*2-lane mega-wavefront.
+    # RNG keys are the GLOBAL lane ids, so chunking never changes values.
+    two_n = 2 * N
+    if two_n > EDGE_EVAL_CHUNK:
+        nch = -(-two_n // EDGE_EVAL_CHUNK)
+        pad = nch * EDGE_EVAL_CHUNK - two_n
+        org_p = jnp.concatenate([sg(both_org), jnp.zeros((pad, 3), dtype)])
+        dir_p = jnp.concatenate([sg(both_dir), jnp.zeros((pad, 3), dtype)])
+        lanes = jnp.arange(nch * EDGE_EVAL_CHUNK, dtype=jnp.int32)
+
+        def _eval_chunk(args):
+            o, d, l = args
+            out = render_sample_fn(
+                fs, camera, options, edge_seed, jnp.uint32(0),
+                primary_rays=(
+                    Ray.make(o, d),
+                    RayDifferential.zero((EDGE_EVAL_CHUNK,), dtype),
+                ),
+                pixel_order=l,
+            )
+            return jax.lax.stop_gradient(out)
+
+        f_both = jax.lax.map(
+            _eval_chunk,
+            (
+                org_p.reshape(nch, EDGE_EVAL_CHUNK, 3),
+                dir_p.reshape(nch, EDGE_EVAL_CHUNK, 3),
+                lanes.reshape(nch, EDGE_EVAL_CHUNK),
+            ),
+        )
+        f_both = f_both.reshape(nch * EDGE_EVAL_CHUNK, -1)[:two_n]
+    else:
+        both = Ray.make(both_org, both_dir)
+        f_both = render_sample_fn(
+            fs, camera, options, edge_seed, jnp.uint32(0),
+            primary_rays=(both, RayDifferential.zero((2 * N,), dtype)),
+        )  # (2N, C)
     f_plus = sg(f_both[:N])
     f_minus = sg(f_both[N:])
 
@@ -495,8 +660,18 @@ def secondary_edge_surrogate(
     specular_dir=None,
     specular_sigma=None,
     specular_weight=None,
+    lane_ids=None,
+    edge_table: EdgeTable = None,
 ):
     """Surrogate scalar for secondary-edge gradients at shading points.
+
+    edge_table: precomputed EdgeTable (build_edge_table) — pass it when
+    calling per (sample, bounce) so the edge extraction sort and the
+    packed scoring rows are built once per backward, not once per call.
+
+    lane_ids: (P,) RNG keys for the lanes (true pixel ids when the caller's
+    lane order is swizzled/tiled — keeps draws invariant to lane layout and
+    sharding).  Defaults to arange(P).
 
     specular_dir/sigma/weight: (P, 3)/(P,)/(P,) mirror-reflection lobe for
     the glossy RIS kernel (see kernel comment below); None = diffuse-only
@@ -533,34 +708,104 @@ def secondary_edge_surrogate(
     dtype = sp_position.dtype
     sg = jax.lax.stop_gradient
     edge_seed = seed + sampler_mod.EDGE_SEED_OFFSET
-    lane = jnp.arange(P, dtype=jnp.int32)
+    if lane_ids is None:
+        lane = jnp.arange(P, dtype=jnp.int32)
+    else:
+        lane = jnp.asarray(lane_ids, jnp.int32)
 
-    edges = build_edges(fs)
+    if edge_table is None:
+        edge_table = build_edge_table(fs)
+    edges = edge_table.edges
     E = edges.v0.shape[0]
     p_sg = sg(sp_position)
 
-    # --- M uniform candidates per shading point ---
-    # Candidate edge ids: (P, M) via the RNG (dims 100+).
+    # --- M importance-driven candidates per shading point ---
+    # Two-level draw (EdgeTable cluster fields): level 1 picks a spatial
+    # edge cluster from a per-shading-point importance — subtended weight
+    # over distance², peaked around the NEE and mirror directions with the
+    # cluster's angular radius widening the lobe — all DENSE (P, C)
+    # broadcast math against the tiny cluster table, no gathers.  Level 2
+    # picks a slot uniformly inside the cluster, so the candidate pdf is
+    # exactly q = cluster_prob / S and RIS stays unbiased.  This replaces
+    # uniform candidates over all E slots, which at real-asset scale
+    # (teapot: 47k slots) almost never proposed the one silhouette edge a
+    # shading point needed (the job of the reference's 6D edge BVH + LTC
+    # traversal, src/edge_tree.cpp:724-882, src/edge.cpp:1115-1237).
     m_ids = jnp.arange(RESAMPLE_M, dtype=jnp.int32)
-    # Stratified-ish: decorrelated ids per (pixel, m)
-    cand_u = sampler_mod.uniform(
-        edge_seed, lane[:, None] * RESAMPLE_M + m_ids[None, :], sample_id,
-        dim_base + 4,
+    # sample_id may be per-lane (the image loop batches samples into the
+    # lane axis); give it a candidate axis to broadcast against (P, M).
+    sid_col = (
+        jnp.asarray(sample_id)[:, None]
+        if jnp.ndim(sample_id) == 1 else sample_id
     )
-    cand = jnp.clip((cand_u * E).astype(jnp.int32), 0, E - 1)  # (P, M)
+    # Stratified cluster draws, reference-style mod(sel + i/M, 1)
+    # (src/edge.cpp:1483-1494): each candidate samples its own stratum of
+    # the cluster CDF.  The mixture density of the M strata is exactly the
+    # unstratified q, so the balance-heuristic RIS weights below stay
+    # unbiased.  Slot draws stay independent per (pixel, m).
+    mkey = lane[:, None] * RESAMPLE_M + m_ids[None, :]
+    u0 = sampler_mod.uniform(edge_seed, lane, sample_id, dim_base + 4)
+    u_c = jnp.mod(
+        u0[:, None] + m_ids[None, :].astype(dtype) / RESAMPLE_M, 1.0
+    )
+    u_s = sampler_mod.uniform(edge_seed, mkey, sid_col, dim_base + 8)
 
-    a = fs.vertices[edges.v0[cand]]  # (P, M, 3)
-    b = fs.vertices[edges.v1[cand]]
-    # Silhouette w.r.t. each shading point.
-    sil = silhouette_mask(
-        fs,
-        EdgeSoA(
-            v0=edges.v0[cand], v1=edges.v1[cand],
-            f0=edges.f0[cand], f1=edges.f1[cand],
-            valid=edges.valid[cand],
+    centers = edge_table.cluster_center  # (C, 3)
+    radii = edge_table.cluster_radius  # (C,)
+    wclu = edge_table.cluster_weight  # (C,)
+    S = edge_table.slot_edge.shape[1]
+    cvec = centers[None, :, :] - p_sg[:, None, :]  # (P, C, 3)
+    cdist2 = jnp.sum(cvec * cvec, axis=-1)
+    cdist = jnp.sqrt(jnp.maximum(cdist2, 1e-12))
+    cdirn = cvec / cdist[..., None]
+    # Angular spread of the cluster as seen from p broadens the kernels.
+    broad2 = (radii[None, :] / jnp.maximum(cdist, 1e-6)) ** 2
+    ck = jnp.full(cdist.shape, NEE_FLOOR, dtype)
+    if nee_dir is not None:
+        d2 = 2.0 * (1.0 - vm.dot(cdirn, sg(nee_dir)[:, None, :]))
+        ck = ck + jnp.exp(-d2 / (2.0 * (NEE_SIGMA * NEE_SIGMA + broad2)))
+    if specular_dir is not None:
+        d2s = 2.0 * (1.0 - vm.dot(cdirn, sg(specular_dir)[:, None, :]))
+        sig2s = sg(jnp.maximum(specular_sigma, 1e-3) ** 2)[:, None]
+        ck = ck + sg(specular_weight)[:, None] * jnp.exp(
+            -d2s / (2.0 * (sig2s + broad2))
+        )
+    score = wclu[None, :] * ck / jnp.maximum(cdist2, radii[None, :] ** 2)
+    score_sum = jnp.sum(score, axis=-1)  # (P,)
+    c_cdf = jnp.cumsum(score, axis=-1)
+    cm = jnp.clip(
+        jnp.sum(
+            (c_cdf[:, None, :] < (u_c * score_sum[:, None])[..., None]
+             ).astype(jnp.int32),
+            axis=-1,
         ),
-        p_sg[:, None, :],
-    )  # (P, M)
+        0, score.shape[-1] - 1,
+    )  # (P, M) cluster pick
+    cprob = vm.safe_div(
+        jnp.take_along_axis(score, cm, axis=-1), score_sum[:, None]
+    )
+    slot = jnp.clip((u_s * S).astype(jnp.int32), 0, S - 1)
+    eid = edge_table.slot_edge[cm, slot]  # (P, M), -1 on pad slots
+    cand_live = eid >= 0
+    cand = jnp.clip(eid, 0, E - 1)  # (P, M)
+    q_cand = cprob / S  # exact pdf of this candidate draw
+
+    # ONE wide row gather per candidate lane (see EdgeTable): positions,
+    # face normals and the silhouette-class flag together.  The whole
+    # candidate phase is stop-gradient — only the WINNING edge re-gathers
+    # its vertices differentiably below.
+    rows = edge_table.packed[cand]  # (P, M, 16)
+    a = rows[..., 0:3]
+    b = rows[..., 3:6]
+    n0 = rows[..., 6:9]
+    n1 = rows[..., 9:12]
+    flag = rows[..., 12]
+    # Silhouette w.r.t. each shading point (src/edge.h:156-229): boundary
+    # edges always; interior edges iff exactly one adjacent face fronts.
+    d_view = p_sg[:, None, :] - a
+    front0 = vm.dot(n0, d_view) > 0
+    front1 = vm.dot(n1, d_view) > 0
+    sil = (flag == 2.0) | ((flag == 1.0) & (front0 != front1))  # (P, M)
 
     # Importance: subtended arc length (chord of unit directions) times
     # direction-proximity kernels — edges whose arc passes near the sampled
@@ -605,24 +850,39 @@ def secondary_edge_surrogate(
     # src/edge.cpp:1866-1871 analog).
     da = vm.distance_squared(sg(a), p_sg[:, None, :])
     db = vm.distance_squared(sg(b), p_sg[:, None, :])
-    w_cand = jnp.where(sil & (da > 1e-8) & (db > 1e-8), arc * kernel, 0.0)  # (P, M)
+    w_cand = jnp.where(
+        sil & cand_live & (da > 1e-8) & (db > 1e-8), arc * kernel, 0.0
+    )  # (P, M)
 
-    w_sum = jnp.sum(w_cand, axis=-1)  # (P,)
-    has_cand = w_sum > 0
-    # Resample one candidate proportional to w_cand.
-    cdf = jnp.cumsum(w_cand, axis=-1)
-    u_sel = sampler_mod.uniform(edge_seed, lane, sample_id, dim_base + 5)
+    # RIS resampling weights m_i = target(x_i) / proposal(x_i): the
+    # proposal is the exact two-level draw probability q_cand.
+    m_w = jnp.where(q_cand > 0, vm.safe_div(w_cand, q_cand), 0.0)
+    m_sum = jnp.sum(m_w, axis=-1)  # (P,)
+    has_cand = m_sum > 0
+    # The selection/point dims honor options.sampler_type — the reference
+    # draws its 4 secondary-edge dims from the selected sampler incl.
+    # Sobol (src/sampler.h:21-23); lanes are pixels, so the QMC stream is
+    # per-pixel over spp exactly like the camera-path dims.  (The M
+    # resampling-candidate draws above stay on the decorrelated hash: they
+    # are a per-lane candidate PROPOSAL set, and M hash draws with
+    # distinct sub-ids have no QMC analog in the reference schedule.)
+    u_qmc = sampler_mod.draw(
+        options.sampler_type, edge_seed, lane, sample_id, dim_base + 5, 3
+    )
+    # Resample one candidate proportional to m_w.
+    cdf = jnp.cumsum(m_w, axis=-1)
+    u_sel = u_qmc[:, 0]
     pick = jnp.sum(
-        (cdf < (u_sel * w_sum)[:, None]).astype(jnp.int32), axis=-1
+        (cdf < (u_sel * m_sum)[:, None]).astype(jnp.int32), axis=-1
     )
     pick = jnp.clip(pick, 0, RESAMPLE_M - 1)
     sel = jnp.take_along_axis(cand, pick[:, None], axis=-1)[:, 0]  # (P,)
     w_pick = jnp.take_along_axis(w_cand, pick[:, None], axis=-1)[:, 0]
-    # RIS effective pdf of the chosen edge: (w_pick / w_sum) * M / E per
-    # uniform candidate draw -> unbiased with factor w_sum / (M * w_pick) * E.
+    # Standard RIS estimator factor: (1/M sum_j m_j) / target(x_pick)
+    # (reduces to the uniform-candidate w_sum*E/(M*w_pick) when q = 1/E).
     ris_factor = jnp.where(
         has_cand & (w_pick > 0),
-        w_sum * E / (RESAMPLE_M * jnp.maximum(w_pick, 1e-20)),
+        m_sum / (RESAMPLE_M * jnp.maximum(w_pick, 1e-20)),
         0.0,
     )
 
@@ -632,7 +892,7 @@ def secondary_edge_surrogate(
     av = fs.vertices[edges.v0[sel]]  # (P, 3) differentiable
     bv = fs.vertices[edges.v1[sel]]
     Kt = T_CANDIDATES
-    t_jit = sampler_mod.uniform(edge_seed, lane, sample_id, dim_base + 6)
+    t_jit = u_qmc[:, 1]
     tk = (jnp.arange(Kt, dtype=dtype)[None, :] + t_jit[:, None]) / Kt  # (P,Kt)
     xk = (1.0 - tk)[..., None] * sg(av)[:, None, :] + tk[..., None] * sg(bv)[:, None, :]
     wk_dir = vm.normalize(xk - p_sg[:, None, :])
@@ -649,7 +909,7 @@ def secondary_edge_surrogate(
         wt = jnp.ones((P, Kt), dtype)
     wt_sum = jnp.sum(wt, axis=-1)
     cdf_t = jnp.cumsum(wt, axis=-1)
-    u_t = sampler_mod.uniform(edge_seed, lane, sample_id, dim_base + 7)
+    u_t = u_qmc[:, 2]
     pick_t = jnp.clip(
         jnp.sum((cdf_t < (u_t * wt_sum)[:, None]).astype(jnp.int32), axis=-1),
         0, Kt - 1,
@@ -691,8 +951,12 @@ def secondary_edge_surrogate(
         tmax=jnp.full((2 * P,), jnp.inf, dtype),
     )
     lane2 = jnp.concatenate([lane, lane + P])
+    sample2 = (
+        jnp.concatenate([sample_id, sample_id])
+        if jnp.ndim(sample_id) == 1 else sample_id
+    )
     L_both, E_both = trace_fn(
-        fs, options, edge_seed, lane2, sample_id, ray2,
+        fs, options, edge_seed, lane2, sample2, ray2,
         RayDifferential.zero((2 * P,), dtype), dim_base + 10,
         camera_ray=False,  # directly_visible must not hide lights here
         return_emission=True,

@@ -66,6 +66,7 @@ class RenderOptions:
         num_edge_samples: Optional[int] = None,
         max_generic_texture_dimension: int = 16,
         remat: bool = False,
+        split_shadow_sweep: bool = False,
     ):
         # (forward, backward) sample counts, reference-style: an int means
         # both passes use it (pyredner num_samples tuple semantics).
@@ -93,6 +94,37 @@ class RenderOptions:
         # costs ~1.55x fwd+bwd wall clock (130.6 -> 202.5 ms); enable for
         # large images / high spp where residuals would spill HBM.
         self.remat = bool(remat)
+        # Trace NEE shadow rays through the anyhit early-exit occluded()
+        # kernel instead of batching them with continuation rays into one
+        # closest-hit sweep.  A wash at teapot scale (130.8 vs 132.6 ms,
+        # PERF.md); worth trying on much larger scenes where anyhit's
+        # early exit should dominate the batched sweep's amortization.
+        self.split_shadow_sweep = bool(split_shadow_sweep)
+        # Immutable from here on: options key jit caches (render_grad
+        # caches executables per options value), so post-hoc mutation
+        # would silently reuse a stale compiled trace.
+        self._frozen = True
+
+    def __setattr__(self, name, value):
+        if getattr(self, "_frozen", False):
+            raise AttributeError(
+                "RenderOptions is frozen after construction (compiled "
+                "renderers are cached per options value; mutating one "
+                "would silently reuse a stale executable). Build a new "
+                "RenderOptions, or use options._copy_with(...)."
+            )
+        object.__setattr__(self, name, value)
+
+    def _copy_with(self, **overrides):
+        """A new frozen RenderOptions with some fields replaced."""
+        import copy as _copy
+
+        new = _copy.copy(self)
+        for k, v in overrides.items():
+            if not hasattr(new, k):
+                raise AttributeError(f"RenderOptions has no field {k!r}")
+            object.__setattr__(new, k, v)
+        return new
 
     # Hashable so it can be a static jit argument.
     def _key(self):
@@ -108,6 +140,7 @@ class RenderOptions:
             self.use_secondary_edge_sampling,
             self.num_edge_samples,
             self.remat,
+            self.split_shadow_sweep,
         )
 
     def __hash__(self):
@@ -511,13 +544,10 @@ def _face_emission_nee(fs, isect, wo, sp_light):
     return jnp.where(ok[..., None], intensity, 0.0), ok
 
 
-# Experiment toggle: trace NEE shadow rays through the anyhit early-exit
-# occluded() kernel instead of batching them with the continuation rays
-# into one closest-hit sweep.  Measured on the teapot bench (15.7k tris,
-# 256x256, 4spp, v5e): a wash — fwd+bwd 130.8 ms split vs 132.6 ms
-# batched; the batched sweep's amortized per-call overhead cancels what
-# anyhit's early exit saves at this scale.  Left as a switch for larger
-# scenes where early exit should eventually dominate.
+# Deprecated module toggle — use RenderOptions(split_shadow_sweep=True),
+# which participates in the jit cache key (this flag changes the traced
+# computation, so flipping it after a jitted call would otherwise reuse
+# the stale executable).  OR-ed with the option for back-compat.
 SPLIT_SHADOW_SWEEP = False
 
 
@@ -536,6 +566,8 @@ def trace_radiance(
     return_primary_valid: bool = False,
     return_emission: bool = False,
     coherent: bool = False,
+    secondary_d_pixel=None,
+    secondary_edge_table=None,
 ):
     """Full-path radiance estimate for arbitrary primary rays -> (n, 3).
 
@@ -549,11 +581,20 @@ def trace_radiance(
     return_emission: also return the first-hit emission term alone (the
     secondary-edge pass weights it separately from the reflected part when
     the sampled edge is the light's own rim).
+
+    secondary_d_pixel: (n, 3) per-lane radiance adjoint.  When given, the
+    bounce loop ALSO emits the secondary-edge surrogate at every bounce —
+    the backward's edge pass shares this loop's intersections, light
+    samples, and local materials instead of replaying the camera paths a
+    second time (the reference samples secondary edges inside its backward
+    bounce loop for the same reason, src/pathtracer.cpp:431-707).  The
+    return value becomes (radiance, surrogate_scalar).
     """
     n = ray.org.shape[0]
     dtype = ray.org.dtype
     radiance = jnp.zeros((n, 3), dtype)
     primary_emission = jnp.zeros((n, 3), dtype)
+    surrogate = jnp.zeros((), dtype)
 
     # Pallas custom-calls are not reliably CSE'd; callers that already
     # intersected the primary ray pass the hit in to avoid a second sweep.
@@ -612,7 +653,7 @@ def trace_radiance(
             )
             ls = _sample_light_point(fs, sp.position, light_u)
             sray = ls["shadow_ray"]
-            if SPLIT_SHADOW_SWEEP:
+            if options.split_shadow_sweep or SPLIT_SHADOW_SWEEP:
                 # Shadow rays through the anyhit early-exit kernel,
                 # continuation rays through closest-hit.
                 blocked = accel.occluded(fs, sray, presorted=coherent)
@@ -642,9 +683,11 @@ def trace_radiance(
                     t=both_isect.t[n:],
                 )
             nee = _nee_contribution(fs, lm, sp, wi, min_rough, ls, blocked)
+            nee_dir = ls["shadow_ray"].dir
         else:
             nee = jnp.zeros((n, 3), dtype)
             bsdf_isect = accel.intersect(fs, bsdf_ray, presorted=coherent)
+            nee_dir = None
         bsdf_sp, bsdf_diff = _surface_point_at(fs, bsdf_isect, bsdf_ray, wo_diff)
 
         scatter, scatter_bsdf = _scatter_contribution(
@@ -653,6 +696,13 @@ def trace_radiance(
         radiance = radiance + jnp.where(
             active[..., None], throughput * (nee + scatter), 0.0
         )
+
+        if secondary_d_pixel is not None:
+            surrogate = surrogate + _secondary_edge_term(
+                fs, options, seed, lane_ids, sample_id, bounce,
+                sp, lm, wi, min_rough, active, throughput,
+                secondary_d_pixel, nee_dir, secondary_edge_table,
+            )
 
         throughput = jnp.where(active[..., None], throughput * scatter_bsdf, 0.0)
         active = active & bsdf_isect.valid & (
@@ -668,11 +718,62 @@ def trace_radiance(
             jnp.clip(bsdf_isect.tri_id, 0, fs.num_triangles - 1)
         ]
         lm = fetch_local_material(fs, sp, mid)
+    if secondary_d_pixel is not None:
+        return radiance, surrogate
     if return_emission:
         return radiance, primary_emission
     if return_primary_valid:
         return radiance, primary_valid
     return radiance
+
+
+def _secondary_edge_term(fs, options, seed, lane_ids, sample_id, bounce,
+                         sp, lm, wi, min_rough, active, throughput,
+                         d_pixel, nee_dir, edge_table=None):
+    """One bounce's secondary-edge surrogate, fed from the live wavefront
+    state (the backward's edge pass runs INSIDE the AD re-render's bounce
+    loop so intersections/light samples/materials are shared — reference
+    src/pathtracer.cpp:431-707 samples secondary edges per depth in its
+    backward bounce loop)."""
+    from redner_tpu.edge import secondary_edge_surrogate
+
+    sgd = jax.lax.stop_gradient
+
+    def bsdf_eval(wo, lm=lm, sp=sp, wi=wi, min_rough=min_rough):
+        return bsdf(lm, sp, wi, wo, min_rough)
+
+    def bsdf_pdf_eval(wo, lm=lm, sp=sp, wi=wi, min_rough=min_rough):
+        return bsdf_pdf(lm, sp, wi, wo, min_rough)
+
+    # Glossy importance: a mirror-reflection lobe steers the RIS kernel so
+    # specular receivers sample the edges their lobe can see (the
+    # reference's LTC-component selection role, src/edge.cpp:1403-1448).
+    _, _, pn = perturb_shading_frame(lm, sp)
+    refl = sgd(2.0 * vm.vdot(wi, pn) * pn - wi)
+    spec_sigma = sgd(jnp.clip(
+        jnp.sqrt(jnp.maximum(lm.roughness, 1e-6)), 0.03, 1.0
+    ))
+    lum = jnp.asarray([0.2126, 0.7152, 0.0722])
+    l_spec = jnp.sum(lm.specular * lum, axis=-1)
+    l_diff = jnp.sum(lm.diffuse * lum, axis=-1)
+    spec_weight = sgd(l_spec / jnp.maximum(l_spec + l_diff, 1e-8))
+
+    # Reference variance control: paths already diffuse-ized by a rough
+    # bounce skip secondary edge sampling (src/edge.cpp:1396-1401).
+    sec_active = active & (min_rough <= 1e-2)
+    d_pix = sgd(throughput) * d_pixel
+    return secondary_edge_surrogate(
+        fs, options, seed, sample_id,
+        sp.position, wi, bsdf_eval, trace_radiance,
+        d_pix, sec_active, nee_dir=nee_dir,
+        dim_base=100 + 32 * bounce,
+        bsdf_pdf_fn=bsdf_pdf_eval,
+        specular_dir=refl,
+        specular_sigma=spec_sigma,
+        specular_weight=spec_weight,
+        lane_ids=lane_ids,
+        edge_table=edge_table,
+    )
 
 
 SWIZZLE_BLOCK = (16, 32)  # (rows, cols): 512 pixels = one Pallas ray tile
@@ -718,6 +819,8 @@ def render_sample(
     jitter=None,
     primary_rays=None,
     pixel_order=None,
+    secondary_d_pixel=None,
+    secondary_edge_table=None,
 ):
     """Trace one sample per pixel; returns (num_pixels, C) contribution
     (unweighted — caller averages over samples), lane k = pixel
@@ -726,6 +829,10 @@ def render_sample(
     `jitter`/`primary_rays` overrides exist for the edge-sampling passes,
     which trace full paths from externally supplied rays
     (src/pathtracer.cpp:766-934 analog).
+
+    secondary_d_pixel: (n, 3) per-lane radiance adjoint — forwarded to
+    trace_radiance's fused secondary-edge pass; return becomes
+    (contribution, surrogate_scalar).
     """
     ci = options.channel_info
     top, left, bottom, right = camera.viewport_or_full
@@ -778,14 +885,21 @@ def render_sample(
         fs, ci, active, throughput, ray, aov_diff, isect, sp, lm, 1.0,
         skip_radiance=want_radiance,
     )
+    surr = jnp.zeros((), dtype)
     if want_radiance:
         radiance = trace_radiance(
             fs, options, seed, pixel_ids, sample_id, ray, ray_diff,
             dim_start=dim.dim, primary_isect=isect,
             coherent=primary_rays is None and pixel_order is not None,
+            secondary_d_pixel=secondary_d_pixel,
+            secondary_edge_table=secondary_edge_table,
         )
+        if secondary_d_pixel is not None:
+            radiance, surr = radiance
         roff = ci.radiance_dimension
         img = img.at[:, roff : roff + 3].add(radiance)
+    if secondary_d_pixel is not None:
+        return img, surr
     return img
 
 
@@ -810,7 +924,7 @@ def _render_image_jitted(scene, options, seed):
 
 
 def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
-                       pixel_sharding=None) -> jnp.ndarray:
+                       pixel_sharding=None, secondary_d_radiance=None):
     """Differentiable forward render -> (vh, vw, C) image.
 
     Continuous gradients flow through JAX AD; visibility gradients are added
@@ -821,6 +935,11 @@ def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
     wavefront over the device mesh (pixels are embarrassingly parallel; the
     scene stays replicated and gradient reduction rides XLA collectives) —
     SURVEY §2.3 item 9 / §7 step 8.
+
+    secondary_d_radiance: (vh, vw, 3) radiance adjoint.  When given, the
+    sample loop also accumulates the secondary-edge surrogate (fused into
+    the same wavefront — see trace_radiance) and the return value becomes
+    (image, surrogate_scalar).
     """
     fs = flatten_scene(scene)
     camera = scene.camera
@@ -865,29 +984,62 @@ def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
     order_t = jnp.tile(order, K)
     sub = jnp.arange(K, dtype=jnp.uint32)
 
+    d_lane = None
+    edge_table = None
+    if secondary_d_radiance is not None:
+        from redner_tpu.edge import build_edge_table
+
+        # Hoisted out of the sample scan: edge extraction/dedup and the
+        # packed candidate-scoring rows are per-scene, not per-sample.
+        edge_table = build_edge_table(fs)
+    if secondary_d_radiance is not None:
+        d_flat = jnp.asarray(secondary_d_radiance).reshape(-1, 3)
+        # Per-lane adjoint in swizzled order; pad lanes zeroed so the
+        # duplicated order[0] pixel doesn't double-count its surrogate.
+        real = (jnp.arange(n_pad) < n)[:, None]
+        d_lane = jnp.tile(jnp.where(real, d_flat[order], 0.0), (K, 1))
+
     def body(acc, pass_id):
+        acc_img, acc_surr = acc
         sample_vec = jnp.repeat(pass_id * K + sub, n_pad)  # (K*n_pad,)
-        contrib = render_sample(
-            fs, camera, options, seed, sample_vec, pixel_order=order_t
-        )
-        w = (pass_id * K + sub < spp).astype(contrib.dtype)  # ragged tail
+        w = None  # ragged-tail sample mask, (K,)
+        if d_lane is not None:
+            w = (pass_id * K + sub < spp).astype(d_lane.dtype)
+            contrib, surr = render_sample(
+                fs, camera, options, seed, sample_vec, pixel_order=order_t,
+                secondary_d_pixel=d_lane * jnp.repeat(w, n_pad)[:, None],
+                secondary_edge_table=edge_table,
+            )
+        else:
+            contrib = render_sample(
+                fs, camera, options, seed, sample_vec, pixel_order=order_t
+            )
+            surr = jnp.zeros((), contrib.dtype)
+        if w is None:
+            w = (pass_id * K + sub < spp).astype(contrib.dtype)
         contrib = jnp.einsum(
             "knc,k->nc", contrib.reshape(K, n_pad, ci.num_total_dimensions), w
         )
-        return acc + constrain(contrib), None
+        return (acc_img + constrain(contrib), acc_surr + surr), None
 
     if options.remat:
         # prevent_cse=False: inside lax.scan the loop boundary already
         # blocks CSE between the forward and the recompute.
         body = jax.checkpoint(body, prevent_cse=False)
 
-    init = constrain(
-        jnp.zeros((n_pad, ci.num_total_dimensions), fs.vertices.dtype)
+    init = (
+        constrain(
+            jnp.zeros((n_pad, ci.num_total_dimensions), fs.vertices.dtype)
+        ),
+        jnp.zeros((), fs.vertices.dtype),
     )
-    img, _ = jax.lax.scan(
+    (img, surr_total), _ = jax.lax.scan(
         body, init, jnp.arange(npass, dtype=jnp.uint32)
     )
     img = img[:n] / options.num_samples
     # Unswizzle: lane k holds pixel order[k].
     img = img[jnp.asarray(inverse_np)]
-    return img.reshape(vh, vw, ci.num_total_dimensions)
+    img = img.reshape(vh, vw, ci.num_total_dimensions)
+    if secondary_d_radiance is not None:
+        return img, surr_total / options.num_samples
+    return img

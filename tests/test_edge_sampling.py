@@ -48,6 +48,52 @@ def test_primary_edge_gradient_matches_fd():
     assert jnp.allclose(g_edge, fd, rtol=0.35), (float(g_edge), float(fd))
 
 
+def test_primary_edge_qmc_reduces_variance():
+    """options.sampler_type reaches the edge estimator: Sobol edge samples
+    stratify (edge_sel, t), so the across-seed variance of the primary-edge
+    gradient must not exceed the independent sampler's (reference routes
+    the 2 primary-edge dims through the selected sampler,
+    src/sampler.h:14-23, src/sobol_sampler.cpp:102-214)."""
+    from redner_tpu.edge import primary_edge_gradients
+    from redner_tpu.render import render_sample
+    from redner_tpu.sampler import SamplerType
+    from redner_tpu.scene import flatten_scene
+
+    scene = single_triangle_scene(res=(16, 16))
+    tri = scene.shapes[0]
+    d_image = jnp.ones((16, 16, 3))
+
+    def make_grad(sampler_type):
+        opts = rt.RenderOptions(
+            num_samples=1, max_bounces=1, sampler_type=sampler_type
+        )
+
+        @jax.jit
+        def g(seed):
+            def surr(tx):
+                v = tri.vertices + jnp.array([tx, 0.0, 0.0])
+                s = scene.replace(
+                    shapes=(tri.replace(vertices=v),) + scene.shapes[1:]
+                )
+                return primary_edge_gradients(
+                    s, flatten_scene, render_sample, opts, seed, d_image, 256
+                )
+
+            return jax.grad(surr)(0.0)
+
+        return g
+
+    seeds = jnp.arange(24, dtype=jnp.uint32)
+    g_ind = np.array([make_grad(SamplerType.independent)(s) for s in seeds])
+    g_sob = np.array([make_grad(SamplerType.sobol)(s) for s in seeds])
+    assert np.isfinite(g_ind).all() and np.isfinite(g_sob).all()
+    # Unbiasedness: means agree within combined standard errors (3 sigma).
+    se = (g_ind.std() + g_sob.std()) / np.sqrt(len(seeds))
+    assert abs(g_sob.mean() - g_ind.mean()) < 3.0 * se + 1e-6
+    # QMC must not be worse (it should be clearly better; allow slack).
+    assert g_sob.std() <= 1.1 * g_ind.std(), (g_sob.std(), g_ind.std())
+
+
 def _soft_scene(dx=0.0):
     cam = rt.make_camera(position=[0., 2., -6.], look_at=[0., 0., 0.],
                          up=[0., 1., 0.], fov=45., resolution=(4, 4))

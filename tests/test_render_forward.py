@@ -207,25 +207,35 @@ def test_sample_lane_batching_matches_sequential():
 
 
 def test_split_shadow_sweep_matches_batched():
-    """The anyhit-occluded shadow path (render.SPLIT_SHADOW_SWEEP) must
+    """The anyhit-occluded shadow path (split_shadow_sweep option) must
     give the same image as the batched closest-hit sweep: a closest hit
-    strictly inside (tmin, tmax) is exactly occlusion."""
-    import sys
-
-    import redner_tpu.render  # noqa: F401  (package attr `render` is the fn)
-    render_mod = sys.modules["redner_tpu.render"]
-
+    strictly inside (tmin, tmax) is exactly occlusion.  The toggle lives
+    in RenderOptions (and its jit key), so both variants cache cleanly."""
     scene = shadow_scene(res=(16, 16))
-    opts = rt.RenderOptions(num_samples=2, max_bounces=1)
-    old = render_mod.SPLIT_SHADOW_SWEEP
-    try:
-        render_mod.SPLIT_SHADOW_SWEEP = False
-        # Options carry the jit cache key, not the module flag: render
-        # eagerly via the impl to honor the toggle in both settings.
-        a = render_mod._render_image_impl(scene, opts, seed=9)
-        render_mod.SPLIT_SHADOW_SWEEP = True
-        b = render_mod._render_image_impl(scene, opts, seed=9)
-    finally:
-        render_mod.SPLIT_SHADOW_SWEEP = old
+    a = rt.render_image(
+        scene, rt.RenderOptions(num_samples=2, max_bounces=1), seed=9
+    )
+    b = rt.render_image(
+        scene,
+        rt.RenderOptions(num_samples=2, max_bounces=1, split_shadow_sweep=True),
+        seed=9,
+    )
     assert bool(jnp.all(jnp.isfinite(a))) and float(a.max()) > 0
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_render_options_frozen():
+    """RenderOptions is immutable after construction: mutation would
+    silently reuse a stale cached executable (options key the jit caches)."""
+    import pytest
+
+    opts = rt.RenderOptions(num_samples=2, max_bounces=1)
+    with pytest.raises(AttributeError):
+        opts.num_samples = 8
+    with pytest.raises(AttributeError):
+        opts.remat = True
+    # _copy_with builds a fresh frozen instance.
+    o2 = opts._copy_with(num_samples=8)
+    assert o2.num_samples == 8 and opts.num_samples == 2
+    with pytest.raises(AttributeError):
+        o2.num_samples = 1
