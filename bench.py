@@ -55,6 +55,50 @@ def teapot_scene(res=(256, 256)):
     return rt.scene_from_objects(cam, objs + [light])
 
 
+def _edge_straddle_check() -> bool:
+    """True iff a ±1e-5 offset-ray pair straddling a silhouette edge gets
+    DIFFERENT hit classifications through accel.intersect(precise=True)
+    on this backend (the correctness precondition of every edge-sampled
+    visibility gradient)."""
+    import numpy as np
+
+    import redner_tpu as rt
+    from redner_tpu import accel
+    from redner_tpu.core import vecmath as vm
+    from redner_tpu.core.types import Ray
+    from redner_tpu.scene import flatten_scene
+
+    quad = rt.make_shape(
+        vertices=[[-0.6, 1.2, -0.5], [0.6, 1.2, -0.5],
+                  [-0.6, 1.2, 0.7], [0.6, 1.2, 0.7]],
+        indices=[[0, 2, 1], [1, 2, 3]], material_id=0)
+    cam = rt.make_camera(position=[0., 3., -6.], look_at=[0., 0., 0.],
+                         up=[0., 1., 0.], fov=45.0, resolution=(4, 4))
+    scene = rt.make_scene(cam, [quad],
+                          [rt.make_material(diffuse_reflectance=[0.5] * 3)])
+    fs = flatten_scene(scene)
+    P = 16
+    t = jnp.linspace(0.2, 0.8, P)
+    av = jnp.asarray([0.6, 1.2, -0.5])
+    bv = jnp.asarray([0.6, 1.2, 0.7])
+    x_edge = (1 - t)[:, None] * av + t[:, None] * bv
+    p = jnp.stack([jnp.linspace(0.9, 1.1, P), jnp.zeros(P),
+                   jnp.full(P, 0.2)], -1)
+    omega = vm.normalize(x_edge - p)
+    dxdt = jnp.broadcast_to(bv - av, (P, 3))
+    n_hat = vm.normalize(jnp.cross(omega, vm.normalize(
+        dxdt - omega * jnp.sum(omega * dxdt, -1, keepdims=True))))
+    d2 = jnp.concatenate([vm.normalize(omega + 1e-5 * n_hat),
+                          vm.normalize(omega - 1e-5 * n_hat)])
+    ray = Ray(org=jnp.concatenate([p, p]), dir=d2,
+              tmin=jnp.full((2 * P,), 1e-3),
+              tmax=jnp.full((2 * P,), jnp.inf))
+    isect = accel.intersect(fs, ray, precise=True)
+    hits = np.asarray(isect.valid)
+    # One side of each pair must hit, the other miss, for most lanes.
+    return bool(np.mean(hits[:P] != hits[P:]) > 0.8)
+
+
 def main():
     import redner_tpu as rt
 
@@ -129,9 +173,19 @@ def main():
     )
 
     ntris = sum(int(s.indices.shape[0]) for s in scene.shapes)
+
+    # Hardware regression guard (recorded every round): edge-sampling
+    # offset-ray PAIRS (±1e-5 direction split) must classify differently
+    # across a silhouette.  TPU matmuls default to bf16 inputs, which
+    # erased the split and silently zeroed all visibility gradients in
+    # r1/r2 (CPU FD tests could not catch it); accel.intersect(precise=
+    # True) runs the MT matmul at Precision.HIGHEST for edge rays.
+    straddle_ok = _edge_straddle_check()
+
     print(
         json.dumps(
             {
+                "edge_pair_straddle_ok": straddle_ok,
                 "metric": f"fwd+bwd traced-rays/s/chip, edge-sampled "
                           f"gradients ON (teapot {ntris} tris, "
                           f"{res[0]}x{res[1]}, {spp}spp, {max_bounces} bounce)",

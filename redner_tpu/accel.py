@@ -195,38 +195,48 @@ def build_accel_cache(fs):
     return build_cluster_cache(fs)
 
 
-def intersect(fs, ray: Ray, presorted: bool = False) -> Intersection:
+def intersect(fs, ray: Ray, presorted: bool = False,
+              precise: bool = False) -> Intersection:
     """Closest-hit dispatch: fused Pallas sweep on TPU, MXU matmul sweep
     elsewhere; Morton-clustered culling for large scenes.
 
     presorted: the caller guarantees the ray order is already tile-
     coherent (e.g. swizzled primary rays), so the engines skip their
     Morton coherence sort — the sort's per-lane permutation gather and
-    unsort scatter are a measured ~40% of the intersect wall clock."""
+    unsort scatter are a measured ~40% of the intersect wall clock.
+
+    precise: full-f32 MT matmul (Precision.HIGHEST).  REQUIRED for the
+    edge-sampling offset-ray pairs: TPU matmuls default to bf16 inputs,
+    which erases the pairs' ~1e-5 direction difference and silently
+    zeroes every visibility gradient (camera/shadow rays don't need it —
+    their hit points are re-derived in exact f32 from the winning ids)."""
     if _on_tpu():
         if fs.num_triangles <= PALLAS_MAX_TRIS:
             from redner_tpu.ops.pallas_intersect import intersect_pallas
 
-            return intersect_pallas(fs, ray, presorted=presorted)
+            return intersect_pallas(fs, ray, presorted=presorted,
+                                    precise=precise)
     elif fs.num_triangles <= MM_MAX_TRIS:
         from redner_tpu.ops.intersect import intersect_mm
 
-        return intersect_mm(fs, ray)
+        return intersect_mm(fs, ray, precise=precise)
     from redner_tpu.ops.cluster import intersect_clustered
 
-    return intersect_clustered(fs, ray)
+    return intersect_clustered(fs, ray, precise=precise)
 
 
-def occluded(fs, ray: Ray, presorted: bool = False) -> jnp.ndarray:
+def occluded(fs, ray: Ray, presorted: bool = False,
+             precise: bool = False) -> jnp.ndarray:
     if _on_tpu():
         if fs.num_triangles <= PALLAS_MAX_TRIS:
             from redner_tpu.ops.pallas_intersect import occluded_pallas
 
-            return occluded_pallas(fs, ray, presorted=presorted)
+            return occluded_pallas(fs, ray, presorted=presorted,
+                                   precise=precise)
     elif fs.num_triangles <= MM_MAX_TRIS:
         from redner_tpu.ops.intersect import occluded_mm
 
-        return occluded_mm(fs, ray)
+        return occluded_mm(fs, ray, precise=precise)
     from redner_tpu.ops.cluster import occluded_clustered
 
-    return occluded_clustered(fs, ray)
+    return occluded_clustered(fs, ray, precise=precise)

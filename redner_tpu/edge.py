@@ -491,6 +491,7 @@ def _sample_primary_edges(
                     RayDifferential.zero((EDGE_EVAL_CHUNK,), dtype),
                 ),
                 pixel_order=l,
+                precise_primary=True,
             )
             return jax.lax.stop_gradient(out)
 
@@ -508,6 +509,7 @@ def _sample_primary_edges(
         f_both = render_sample_fn(
             fs, camera, options, edge_seed, jnp.uint32(0),
             primary_rays=(both, RayDifferential.zero((2 * N,), dtype)),
+            precise_primary=True,
         )  # (2N, C)
     f_plus = sg(f_both[:N])
     f_minus = sg(f_both[N:])
@@ -960,6 +962,7 @@ def secondary_edge_surrogate(
         RayDifferential.zero((2 * P,), dtype), dim_base + 10,
         camera_ray=False,  # directly_visible must not hide lights here
         return_emission=True,
+        precise_primary=True,  # the pair split is ~1e-5: needs f32 MT
     )
     L_plus = sg(L_both[:P])
     L_minus = sg(L_both[P:])

@@ -151,11 +151,11 @@ def _tile_cluster_lists(hit_mask, C):
     return packed, counts
 
 
-def _pair_hit_terms(R_feat, T_block, tmin, tmax, eps):
+def _pair_hit_terms(R_feat, T_block, tmin, tmax, eps, precision=None):
     """Per (ray, tri) hit test from the matmul terms (see ops/intersect)."""
     terms = jnp.einsum(
         "tnk,tckj->tncj", R_feat, T_block,
-        preferred_element_type=R_feat.dtype,
+        preferred_element_type=R_feat.dtype, precision=precision,
     )  # (T, TILE, K, 4)
     det, u_num, v_num, t_num = (
         terms[..., 0], terms[..., 1], terms[..., 2], terms[..., 3]
@@ -215,7 +215,8 @@ def _prepare(fs, ray: Ray):
     )
 
 
-def intersect_clustered(fs, ray: Ray) -> Intersection:
+def intersect_clustered(fs, ray: Ray,
+                        precise: bool = False) -> Intersection:
     """Closest hit via tile-binned cluster culling."""
     cl, (org, n), R_feat, lists, counts, (tmin_t, tmax_t) = _prepare(fs, ray)
     C, K = cl["C"], cl["K"]
@@ -228,7 +229,9 @@ def intersect_clustered(fs, ray: Ray) -> Intersection:
         k, best_t, best_flat = state
         cid = jnp.clip(lists[jnp.arange(ntile), jnp.minimum(k, C - 1)], 0, C - 1)
         T_block = cl["T"][cid]  # (T, K, 10, 4)
-        t = _pair_hit_terms(R_feat, T_block, tmin_t, tmax_t, eps)  # (T, TILE, K)
+        t = _pair_hit_terms(
+            R_feat, T_block, tmin_t, tmax_t, eps,
+            jax.lax.Precision.HIGHEST if precise else None)  # (T, TILE, K)
         valid_tile = (k < counts)[:, None, None]
         t = jnp.where(valid_tile, t, jnp.inf)
         arg = jnp.argmin(t, axis=-1)  # (T, TILE)
@@ -264,7 +267,8 @@ def intersect_clustered(fs, ray: Ray) -> Intersection:
     )
 
 
-def occluded_clustered(fs, ray: Ray) -> jnp.ndarray:
+def occluded_clustered(fs, ray: Ray,
+                       precise: bool = False) -> jnp.ndarray:
     """Any-hit via the same scheme, with all-blocked early exit."""
     cl, (org, n), R_feat, lists, counts, (tmin_t, tmax_t) = _prepare(fs, ray)
     C, K = cl["C"], cl["K"]
@@ -277,7 +281,9 @@ def occluded_clustered(fs, ray: Ray) -> jnp.ndarray:
         k, blocked = state
         cid = jnp.clip(lists[jnp.arange(ntile), jnp.minimum(k, C - 1)], 0, C - 1)
         T_block = cl["T"][cid]
-        t = _pair_hit_terms(R_feat, T_block, tmin_t, tmax_t, eps)
+        t = _pair_hit_terms(
+            R_feat, T_block, tmin_t, tmax_t, eps,
+            jax.lax.Precision.HIGHEST if precise else None)
         valid_tile = (k < counts)[:, None, None]
         hit = jnp.isfinite(t) & valid_tile
         return k + 1, blocked | jnp.any(hit, axis=-1)

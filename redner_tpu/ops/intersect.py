@@ -89,18 +89,22 @@ def _coeff_table(fs):
     return build_coeff_table(fs)["mm_T"]
 
 
-def _pair_terms(R, T):
-    """(N, C, 4) = (det, u_num, v_num, t_num) for every pair, via the MXU."""
+def _pair_terms(R, T, precision=None):
+    """(N, C, 4) = (det, u_num, v_num, t_num) for every pair, via the MXU.
+
+    precision: HIGHEST for edge-sampling offset-ray pairs (TPU matmuls
+    default to bf16 inputs, which erases their ~1e-5 direction split)."""
     C = T.shape[0]
     out = jnp.einsum(
-        "nk,ckj->ncj", R, T, preferred_element_type=R.dtype
+        "nk,ckj->ncj", R, T, preferred_element_type=R.dtype,
+        precision=precision,
     )
     return out
 
 
-def _chunk_closest(R, tmin, tmax, T, eps):
+def _chunk_closest(R, tmin, tmax, T, eps, precision=None):
     """Closest-hit over one triangle chunk: returns (t, local_arg, hit_any)."""
-    terms = _pair_terms(R, T)  # (N, C, 4)
+    terms = _pair_terms(R, T, precision)  # (N, C, 4)
     det = terms[..., 0]
     u_num = terms[..., 1]
     v_num = terms[..., 2]
@@ -124,7 +128,7 @@ def _chunk_closest(R, tmin, tmax, T, eps):
     return t_best, arg, jnp.isfinite(t_best)
 
 
-def intersect_mm(fs, ray: Ray) -> Intersection:
+def intersect_mm(fs, ray: Ray, precise: bool = False) -> Intersection:
     """Closest hit over all triangles, matmul-chunked.  Non-differentiable
     (ids + stop-gradiented t), like the reference intersect()."""
     F = fs.num_triangles
@@ -146,7 +150,9 @@ def intersect_mm(fs, ray: Ray) -> Intersection:
         best_t, best_tri = carry
         start = jnp.minimum(c * chunk, F - chunk)
         T = jax.lax.dynamic_slice_in_dim(T_all, start, chunk, axis=0)
-        t_c, arg_c, hit_c = _chunk_closest(R, tmin, tmax, T, eps)
+        t_c, arg_c, hit_c = _chunk_closest(
+            R, tmin, tmax, T, eps,
+            jax.lax.Precision.HIGHEST if precise else None)
         tri_c = start + arg_c.astype(jnp.int32)
         better = t_c < best_t
         best_t = jnp.where(better, t_c, best_t)
@@ -170,7 +176,7 @@ def intersect_mm(fs, ray: Ray) -> Intersection:
     )
 
 
-def occluded_mm(fs, ray: Ray) -> jnp.ndarray:
+def occluded_mm(fs, ray: Ray, precise: bool = False) -> jnp.ndarray:
     """Any-hit query via the same pairwise matmul."""
     F = fs.num_triangles
     org = ray.org.reshape(-1, 3)
@@ -188,7 +194,9 @@ def occluded_mm(fs, ray: Ray) -> jnp.ndarray:
     def body(blocked, c):
         start = jnp.minimum(c * chunk, F - chunk)
         T = jax.lax.dynamic_slice_in_dim(T_all, start, chunk, axis=0)
-        _, _, hit = _chunk_closest(R, tmin, tmax, T, eps)
+        _, _, hit = _chunk_closest(
+            R, tmin, tmax, T, eps,
+            jax.lax.Precision.HIGHEST if precise else None)
         return blocked | hit, None
 
     blocked, _ = jax.lax.scan(

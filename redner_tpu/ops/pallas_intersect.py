@@ -33,7 +33,7 @@ CHUNK = 512  # triangles per chunk
 
 
 def _closest_kernel(tile_ref, chunk_ref, first_ref, R_ref, T_ref, tmin_ref,
-                    tmax_ref, bt_ref, bi_ref):
+                    tmax_ref, bt_ref, bi_ref, precision=None):
     s = pl.program_id(0)
 
     @pl.when(first_ref[s] == 1)
@@ -44,11 +44,18 @@ def _closest_kernel(tile_ref, chunk_ref, first_ref, R_ref, T_ref, tmin_ref,
     @pl.when(first_ref[s] >= 0)
     def _():
         _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref,
-                      chunk_ref[s])
+                      chunk_ref[s], precision)
 
 
-def _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref, chunk_id):
-    terms = jnp.dot(R_ref[:], T_ref[:], preferred_element_type=jnp.float32)
+def _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref, chunk_id,
+                  precision=None):
+    # precision: None = fast MXU default (effectively bf16 inputs on TPU —
+    # fine for camera/shadow rays, whose hit PORTIONS are re-derived in
+    # exact f32 from the winning ids).  The EDGE-SAMPLING passes need
+    # HIGHEST: their offset-ray pairs differ by ~1e-5 in direction, which
+    # vanishes in bf16 and silently zeroes every visibility gradient.
+    terms = jnp.dot(R_ref[:], T_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision)
     det = terms[:, 0 * CHUNK : 1 * CHUNK]
     u_num = terms[:, 1 * CHUNK : 2 * CHUNK]
     v_num = terms[:, 2 * CHUNK : 3 * CHUNK]
@@ -79,7 +86,7 @@ def _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref, chunk_id):
 
 
 def _anyhit_kernel(tile_ref, chunk_ref, first_ref, R_ref, T_ref, tmin_ref,
-                   tmax_ref, blocked_ref):
+                   tmax_ref, blocked_ref, precision=None):
     s = pl.program_id(0)
 
     @pl.when(first_ref[s] == 1)
@@ -94,11 +101,13 @@ def _anyhit_kernel(tile_ref, chunk_ref, first_ref, R_ref, T_ref, tmin_ref,
 
     @pl.when((first_ref[s] >= 0) & jnp.logical_not(jnp.all(settled)))
     def _():
-        _anyhit_body(R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref)
+        _anyhit_body(R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref, precision)
 
 
-def _anyhit_body(R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref):
-    terms = jnp.dot(R_ref[:], T_ref[:], preferred_element_type=jnp.float32)
+def _anyhit_body(R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref,
+                 precision=None):
+    terms = jnp.dot(R_ref[:], T_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision)
     det = terms[:, 0 * CHUNK : 1 * CHUNK]
     u_num = terms[:, 1 * CHUNK : 2 * CHUNK]
     v_num = terms[:, 2 * CHUNK : 3 * CHUNK]
@@ -336,9 +345,10 @@ def _grid_spec(num_steps, out_specs):
 
 
 def _closest_kernel_wrap(tile_ref, chunk_ref, first_ref, R_ref, T_ref,
-                         tmin_ref, tmax_ref, bt_ref, bi_ref):
+                         tmin_ref, tmax_ref, bt_ref, bi_ref,
+                         precision=None):
     _closest_kernel(tile_ref, chunk_ref, first_ref, R_ref, _Squeeze(T_ref),
-                    tmin_ref, tmax_ref, bt_ref, bi_ref)
+                    tmin_ref, tmax_ref, bt_ref, bi_ref, precision)
 
 
 class _Squeeze:
@@ -354,8 +364,12 @@ class _Squeeze:
 
 
 def intersect_pallas(fs, ray: Ray, interpret: bool = False,
-                     presorted: bool = False) -> Intersection:
-    """Closest hit via the fused Pallas kernel with tile-chunk culling."""
+                     presorted: bool = False,
+                     precise: bool = False) -> Intersection:
+    """Closest hit via the fused Pallas kernel with tile-chunk culling.
+
+    precise: run the MT matmul at Precision.HIGHEST (full f32) — required
+    for edge-sampling offset-ray pairs; see _closest_body."""
     Tc, idx_map, cl_min, cl_max = _coeff_layout(fs)
     nchunks = Tc.shape[0]
     (R, tmin_p, tmax_p, n, ntile, live, (org_p, d_p, live_p),
@@ -368,7 +382,10 @@ def intersect_pallas(fs, ray: Ray, interpret: bool = False,
     )
 
     best_t, best_i = pl.pallas_call(
-        _closest_kernel_wrap,
+        functools.partial(
+            _closest_kernel_wrap,
+            precision=jax.lax.Precision.HIGHEST if precise else None,
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((ntile * TILE_N, 1), jnp.float32),
             jax.ShapeDtypeStruct((ntile * TILE_N, 1), jnp.int32),
@@ -412,13 +429,14 @@ def intersect_pallas(fs, ray: Ray, interpret: bool = False,
 
 
 def _anyhit_kernel_wrap(tile_ref, chunk_ref, first_ref, R_ref, T_ref,
-                        tmin_ref, tmax_ref, blocked_ref):
+                        tmin_ref, tmax_ref, blocked_ref, precision=None):
     _anyhit_kernel(tile_ref, chunk_ref, first_ref, R_ref, _Squeeze(T_ref),
-                   tmin_ref, tmax_ref, blocked_ref)
+                   tmin_ref, tmax_ref, blocked_ref, precision)
 
 
 def occluded_pallas(fs, ray: Ray, interpret: bool = False,
-                    presorted: bool = False) -> jnp.ndarray:
+                    presorted: bool = False,
+                    precise: bool = False) -> jnp.ndarray:
     Tc, _, cl_min, cl_max = _coeff_layout(fs)
     nchunks = Tc.shape[0]
     (R, tmin_p, tmax_p, n, ntile, live, (org_p, d_p, live_p),
@@ -431,7 +449,10 @@ def occluded_pallas(fs, ray: Ray, interpret: bool = False,
     )
 
     blocked = pl.pallas_call(
-        _anyhit_kernel_wrap,
+        functools.partial(
+            _anyhit_kernel_wrap,
+            precision=jax.lax.Precision.HIGHEST if precise else None,
+        ),
         out_shape=jax.ShapeDtypeStruct((ntile * TILE_N, 1), jnp.int32),
         grid_spec=_grid_spec(
             jnp.maximum(num_steps, 1),

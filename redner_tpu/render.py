@@ -568,6 +568,7 @@ def trace_radiance(
     coherent: bool = False,
     secondary_d_pixel=None,
     secondary_edge_table=None,
+    precise_primary: bool = False,
 ):
     """Full-path radiance estimate for arbitrary primary rays -> (n, 3).
 
@@ -598,7 +599,14 @@ def trace_radiance(
 
     # Pallas custom-calls are not reliably CSE'd; callers that already
     # intersected the primary ray pass the hit in to avoid a second sweep.
-    isect = accel.intersect(fs, ray) if primary_isect is None else primary_isect
+    # precise_primary: edge passes classify offset-ray PAIRS differing by
+    # ~1e-5 in direction — their first hit must run the full-f32 MT matmul
+    # (TPU matmuls default to bf16 inputs, which erases the split and
+    # silently zeroes the visibility gradient; accel.intersect docstring).
+    isect = (
+        accel.intersect(fs, ray, precise=precise_primary)
+        if primary_isect is None else primary_isect
+    )
     primary_valid = isect.valid
     sp, ray_diff = _surface_point_at(fs, isect, ray, ray_diff)
     mid = fs.face_material_id[jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)]
@@ -821,6 +829,7 @@ def render_sample(
     pixel_order=None,
     secondary_d_pixel=None,
     secondary_edge_table=None,
+    precise_primary: bool = False,
 ):
     """Trace one sample per pixel; returns (num_pixels, C) contribution
     (unweighted — caller averages over samples), lane k = pixel
@@ -872,7 +881,8 @@ def render_sample(
     # Morton coherence sort (edge passes supply their own incoherent rays
     # and still sort).
     isect = accel.intersect(
-        fs, ray, presorted=primary_rays is None and pixel_order is not None
+        fs, ray, presorted=primary_rays is None and pixel_order is not None,
+        precise=precise_primary,
     )
     sp, aov_diff = _surface_point_at(fs, isect, ray, ray_diff)
     mid = fs.face_material_id[jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)]
