@@ -48,8 +48,13 @@ COPLANAR_EPS = 1e-6
 PRIMARY_EDGE_OFFSET = 1e-6
 # Half-plane offset scale of the secondary-edge ray pair (src/edge.cpp:1674).
 SECONDARY_EDGE_OFFSET = 1e-5
-# Importance-resampling candidate count (src/edge.cpp:1483-1494).
-RESAMPLE_M = 64
+# Importance-resampling candidate count.  The reference uses M=64 UNIFORM
+# candidates (src/edge.cpp:1483-1494); with the 2-level cluster-importance
+# proposal, M=32 measures the same gradient variance as M=64 on the
+# teapot-scale shadow ladder (std 0.070 vs 0.068, tools/teapot_fd.py) and
+# cuts the full-res edge backward 1472 -> 1155 ms (PERF.md r3 table).
+# M=16 is measurably noisier (std 0.099).
+RESAMPLE_M = 32
 # Lane cap per chunk of the primary-edge offset-ray evaluation (lax.map).
 EDGE_EVAL_CHUNK = 1 << 16
 
@@ -134,6 +139,14 @@ class EdgeTable(NamedTuple):
     edges: EdgeSoA
     packed: jnp.ndarray  # (E, 16) float rows, stop-gradiented
     slot_edge: jnp.ndarray  # (C, S) int32 edge ids, -1 pad
+    # Slot-ORDERED wide rows [a b n0 n1 flag eid pad2]: the candidate
+    # phase reads everything (edge id included, col 13, exact as f32 for
+    # E < 2^24) with ONE wide gather per (point, candidate).  Measured on
+    # the teapot backward trace: a narrow (P*M,) gather costs ~40 ns/row
+    # while the wide (P*M, 16) row gather costs ~7 ns/row — two narrow
+    # gathers (slot ids + cprob take_along_axis) were 171 ms/iter, 28% of
+    # the whole secondary pass.
+    slot_packed: jnp.ndarray  # (C, S, 16) float rows, stop-gradiented
     cluster_center: jnp.ndarray  # (C, 3)
     cluster_radius: jnp.ndarray  # (C,)
     cluster_weight: jnp.ndarray  # (C,) total length x silhouette prior
@@ -212,10 +225,20 @@ def build_edge_table(fs: FlatScene) -> EdgeTable:
             axis=-1,
         )
     )
+    eid_col = jnp.where(slot_valid, order_c, -1).astype(a.dtype)
+    slot_packed = jnp.concatenate(
+        [
+            jnp.where(slot_valid[..., None], packed[order_c][..., :13], 0.0),
+            eid_col[..., None],
+            jnp.zeros((C, S, 2), a.dtype),
+        ],
+        axis=-1,
+    )
     return EdgeTable(
         edges=edges,
         packed=packed,
         slot_edge=order_p,
+        slot_packed=slot_packed,
         cluster_center=center,
         cluster_radius=radius,
         cluster_weight=w_c,
@@ -664,8 +687,18 @@ def secondary_edge_surrogate(
     specular_weight=None,
     lane_ids=None,
     edge_table: EdgeTable = None,
+    shading_normal=None,
 ):
     """Surrogate scalar for secondary-edge gradients at shading points.
+
+    shading_normal: optional (P, 3) stop-grad shading normals.  Both the
+    cluster proposal and the RIS target are multiplied by a horizon factor
+    (|cos| of the candidate direction + floor): edges lying in the shading
+    point's own surface plane (e.g. the receiver's own boundary) subtend
+    grazing directions whose BSDF-weighted contribution is ~0, yet their
+    1/dist^2 proximity otherwise floods the proposal — the same role as
+    the cosine factor inside the reference's LTC importance
+    (src/edge.cpp:1403-1448).
 
     edge_table: precomputed EdgeTable (build_edge_table) — pass it when
     calling per (sample, bounce) so the edge extraction sort and the
@@ -772,36 +805,44 @@ def secondary_edge_surrogate(
         ck = ck + sg(specular_weight)[:, None] * jnp.exp(
             -d2s / (2.0 * (sig2s + broad2))
         )
+    if shading_normal is not None:
+        n_sg = sg(shading_normal)
+        ck = ck * (jnp.abs(vm.dot(cdirn, n_sg[:, None, :])) + 0.1)
     score = wclu[None, :] * ck / jnp.maximum(cdist2, radii[None, :] ** 2)
     score_sum = jnp.sum(score, axis=-1)  # (P,)
     c_cdf = jnp.cumsum(score, axis=-1)
+    C = score.shape[-1]
     cm = jnp.clip(
         jnp.sum(
             (c_cdf[:, None, :] < (u_c * score_sum[:, None])[..., None]
              ).astype(jnp.int32),
             axis=-1,
         ),
-        0, score.shape[-1] - 1,
+        0, C - 1,
     )  # (P, M) cluster pick
+    # Picked-cluster probability WITHOUT a narrow (P*M,) gather (measured
+    # ~40 ns/row vs ~2 ms for this one-hot reduce): mask-sum over C.
+    onehot = cm[..., None] == jnp.arange(C, dtype=jnp.int32)[None, None, :]
     cprob = vm.safe_div(
-        jnp.take_along_axis(score, cm, axis=-1), score_sum[:, None]
+        jnp.sum(jnp.where(onehot, score[:, None, :], 0.0), axis=-1),
+        score_sum[:, None],
     )
     slot = jnp.clip((u_s * S).astype(jnp.int32), 0, S - 1)
-    eid = edge_table.slot_edge[cm, slot]  # (P, M), -1 on pad slots
-    cand_live = eid >= 0
-    cand = jnp.clip(eid, 0, E - 1)  # (P, M)
     q_cand = cprob / S  # exact pdf of this candidate draw
 
-    # ONE wide row gather per candidate lane (see EdgeTable): positions,
-    # face normals and the silhouette-class flag together.  The whole
-    # candidate phase is stop-gradient — only the WINNING edge re-gathers
-    # its vertices differentiably below.
-    rows = edge_table.packed[cand]  # (P, M, 16)
+    # ONE wide row gather per candidate lane (see EdgeTable slot_packed):
+    # positions, face normals, silhouette-class flag AND the edge id
+    # together.  The whole candidate phase is stop-gradient — only the
+    # WINNING edge re-gathers its vertices differentiably below.
+    rows = edge_table.slot_packed[cm, slot]  # (P, M, 16)
     a = rows[..., 0:3]
     b = rows[..., 3:6]
     n0 = rows[..., 6:9]
     n1 = rows[..., 9:12]
     flag = rows[..., 12]
+    eid = rows[..., 13].astype(jnp.int32)  # exact: E < 2^24
+    cand_live = eid >= 0
+    cand = jnp.clip(eid, 0, E - 1)  # (P, M)
     # Silhouette w.r.t. each shading point (src/edge.h:156-229): boundary
     # edges always; interior edges iff exactly one adjacent face fronts.
     d_view = p_sg[:, None, :] - a
@@ -848,6 +889,14 @@ def secondary_edge_surrogate(
             )
     else:
         kernel = 1.0
+    if shading_normal is not None:
+        n_sg = sg(shading_normal)[:, None, :]
+        mid_p = vm.normalize(wa + wb)
+        horizon = jnp.maximum(
+            jnp.maximum(jnp.abs(vm.dot(wa, n_sg)), jnp.abs(vm.dot(wb, n_sg))),
+            jnp.abs(vm.dot(mid_p, n_sg)),
+        )
+        kernel = kernel * (horizon + 0.05)
     # Avoid edges containing the shading point itself (self-intersection,
     # src/edge.cpp:1866-1871 analog).
     da = vm.distance_squared(sg(a), p_sg[:, None, :])

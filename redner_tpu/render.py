@@ -781,6 +781,7 @@ def _secondary_edge_term(fs, options, seed, lane_ids, sample_id, bounce,
         specular_weight=spec_weight,
         lane_ids=lane_ids,
         edge_table=edge_table,
+        shading_normal=sgd(pn),
     )
 
 

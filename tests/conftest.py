@@ -21,3 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite's wall clock is dominated by
+# compiles of the big render executables (~2/3 of a cold 51-minute run);
+# with the disk cache a re-run drops to the actual compute.  Keyed by HLO
+# hash, so code changes invalidate exactly the affected programs.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache",
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -111,6 +111,79 @@ def test_teapot_reflectance_recovery():
     assert err < 0.12, (d, target_diffuse)
 
 
+def test_teapot_scale_shadow_gradient_matches_fd():
+    """Secondary-edge estimator at REAL-ASSET scale (VERDICT r2 item 2):
+    the teapot (15.7k tris, 47k edge slots) floats ABOVE the camera
+    frustum casting a shadow on a floor; the camera sees only the shadow,
+    so the blocker-translation gradient is purely the secondary-edge term
+    (AD alone is exactly zero).  jax.grad(rt.render) must match the
+    matched-seed FD.  Budget: 24 grad seeds at 16 spp + 12 FD pairs at
+    32 spp = half the toy ladder's (tests/test_shadow.py) sample budget.
+
+    This is the configuration that exposed two real failures: uniform-RIS
+    candidates never proposing the needed silhouette (fixed by the
+    2-level cluster CDF) and the TPU bf16-matmul precision loss (fixed by
+    precise=True edge intersects; only reproducible on TPU hardware —
+    bench.py's edge_pair_straddle_ok probe guards it there)."""
+    RES = (24, 24)
+    W = (0.25 + jnp.linspace(0., 1., RES[1])[None, :, None]
+         + 0.5 * jnp.linspace(0., 1., RES[0])[:, None, None])
+    objs = rt.load_obj(_TEAPOT, return_objects=True)
+    mat = rt.make_material(diffuse_reflectance=[0.5, 0.5, 0.5])
+    for o in objs:
+        o.material = mat
+    cam = rt.make_camera(position=[0., 8., -200.], look_at=[0., 0., 40.],
+                         up=[0., 1., 0.], fov=20.0, resolution=RES)
+
+    def scene_at(tx):
+        base = rt.scene_from_objects(cam, objs)
+        tp = [s.replace(vertices=s.vertices
+                        + jnp.stack([tx, jnp.asarray(60.0),
+                                     jnp.asarray(0.0)]))
+              for s in base.shapes]
+        floor = rt.make_shape(
+            vertices=[[-300., 0., -300.], [300., 0., -300.],
+                      [-300., 0., 300.], [300., 0., 300.]],
+            indices=[[0, 2, 1], [1, 2, 3]], material_id=0)
+        light = rt.make_shape(
+            vertices=[[-50., 420., -10.], [50., 420., -10.],
+                      [-50., 420., 90.], [50., 420., 90.]],
+            indices=[[0, 1, 2], [1, 3, 2]], material_id=0, light_id=0)
+        return rt.make_scene(
+            cam, tp + [floor, light], base.materials,
+            area_lights=[rt.make_area_light(len(tp) + 1, [14., 14., 14.])])
+
+    opts = rt.RenderOptions(num_samples=16, max_bounces=1,
+                            use_primary_edge_sampling=False)
+    opts_fd = rt.RenderOptions(num_samples=32, max_bounces=1,
+                               use_primary_edge_sampling=False,
+                               use_secondary_edge_sampling=False)
+
+    def wloss(tx, options, seed):
+        return jnp.sum(W * rt.render(scene_at(tx), options, seed=seed))
+
+    gfn = jax.jit(lambda seed: jax.grad(wloss)(jnp.asarray(0.0), opts, seed))
+    fdf = jax.jit(lambda tx, seed: wloss(tx, opts_fd, seed))
+    gs = np.array([float(gfn(jnp.uint32(s))) for s in range(24)])
+    eps = 8.0
+    fds = np.array([
+        (float(fdf(jnp.asarray(eps), jnp.uint32(s)))
+         - float(fdf(jnp.asarray(-eps), jnp.uint32(s)))) / (2 * eps)
+        for s in range(12)
+    ])
+    assert np.isfinite(gs).all()
+    g_se = gs.std() / np.sqrt(len(gs))
+    fd_se = fds.std() / np.sqrt(len(fds))
+    # The FD must carry real signal (the shadow darkening is visible).
+    assert abs(fds.mean()) > 3 * fd_se, (fds.mean(), fd_se)
+    diff = abs(gs.mean() - fds.mean())
+    tol = max(0.5 * abs(fds.mean()),
+              2.5 * float(np.hypot(g_se, fd_se)))
+    # Structural failures measure ratio ~0.01-0.2 here and fail hard;
+    # MC noise at this budget stays well inside.
+    assert diff <= tol, (gs.mean(), fds.mean(), g_se, fd_se)
+
+
 def _shrink(scene, res):
     cam = scene.camera.replace(resolution=res)
     return scene.replace(camera=cam)

@@ -96,14 +96,16 @@ def main():
               f"(std {np.std(vals):.3f})", flush=True)
 
     if quick:
-        grid = [(0.3, 0.05, 64, 8), (0.3, 0.05, 16, 8)]
+        grid = [(0.3, 0.05, 32, 8), (0.3, 0.05, 16, 8)]
     else:
-        grid = list(itertools.product(
-            (0.15, 0.3, 0.6),      # NEE_SIGMA
-            (0.01, 0.05, 0.2),     # NEE_FLOOR
-            (8, 16, 32, 64),       # RESAMPLE_M
-            (4, 8),                # T_CANDIDATES
-        ))
+        # Focused grid (each config is a fresh trace+compile, ~2 min on
+        # the remote TPU): sigma x floor at the default M/Kt, then M and
+        # Kt at the default sigma/floor.  The M sweep at teapot scale is
+        # in PERF.md (tools/teapot_fd.py).
+        grid = [(s, f, 32, 8) for s in (0.15, 0.3, 0.6)
+                for f in (0.01, 0.05, 0.2)]
+        grid += [(0.3, 0.05, m, 8) for m in (8, 16, 64)]
+        grid += [(0.3, 0.05, 32, 4)]
 
     print(f"{'sigma':>6} {'floor':>6} {'M':>4} {'Kt':>3} "
           f"{'d_mean':>8} {'d_std':>7} {'d_err%':>7} "
