@@ -33,7 +33,7 @@ def _fence(out):
     return np.asarray(jnp.sum(leaf))
 
 
-def measure(scene, options, mesh, iters=5):
+def _make_grad(scene, options, mesh):
     import redner_tpu as rt
     from redner_tpu.parallel.sharding import pixel_sharding
 
@@ -45,7 +45,26 @@ def measure(scene, options, mesh, iters=5):
         # over the mesh.
         return jnp.sum(rt.render(s, options, seed=3, pixel_sharding=sh))
 
-    f = jax.jit(jax.grad(loss, allow_int=True))
+    return jax.jit(jax.grad(loss, allow_int=True))
+
+
+def per_device_flops(f, scene):
+    """Compiled per-device FLOP count — a hardware-independent check that
+    the sharding actually DIVIDES the work (virtual CPU devices share
+    physical cores, so wall-clock proxy efficiency means little; real ICI
+    scaling is bounded by how much compute stays replicated)."""
+    try:
+        c = f.lower(scene).compile()
+        ca = c.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+
+
+def measure(scene, options, mesh, iters=5):
+    f = _make_grad(scene, options, mesh)
     _fence(f(scene))
     t0 = time.perf_counter()
     outs = [f(scene) for _ in range(iters)]
@@ -89,6 +108,17 @@ def main():
         result["value"] = round(eff, 3)
         result["tN_ms"] = round(tn * 1e3, 1)
         result["n_devices"] = len(devices)
+        # Hardware-independent sharding validation: per-device FLOPs of
+        # the N-device executable over the 1-device one.  ~1/N means the
+        # whole edge-sampled backward shards; larger fractions expose
+        # replicated compute that would cap real ICI scaling.
+        f1 = per_device_flops(_make_grad(scene, options,
+                                         make_mesh(devices[:1])), scene)
+        fn = per_device_flops(_make_grad(scene, options,
+                                         make_mesh(devices)), scene)
+        if f1 == f1 and fn == fn and f1 > 0:
+            result["per_device_flops_fraction"] = round(fn / f1, 4)
+            result["ideal_fraction"] = round(1.0 / len(devices), 4)
         if not cpu_mesh:
             # BASELINE.md target; a hard assertion once real multi-chip
             # hardware is attached.

@@ -13,23 +13,44 @@ import jax.numpy as jnp
 from redner_tpu.core import vecmath as vm
 
 
+# NOTE on precision: these apply ONE small matrix to batched points, so
+# they are written as explicit elementwise multiply-adds, NOT einsum/dot.
+# On TPU a dot_general lowers to the MXU with bf16 inputs at default
+# precision, which (measured) erased the edge-sampling passes' ~1e-5
+# screen offsets inside the camera transform — and a K=4 matmul wastes
+# the systolic array anyway; the VPU form is exact f32 and at least as
+# fast.
+
+
 def xfm_point(m, p):
     """Apply 4x4 matrix to points (..., 3) with perspective divide.
 
     Matches reference src/transform.h xfm_point.
     """
-    ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
-    out = jnp.einsum("ij,...j->...i", m, ph)
-    return out[..., :3] / out[..., 3:4]
+    lin = (
+        p[..., 0:1] * m[:3, 0] + p[..., 1:2] * m[:3, 1]
+        + p[..., 2:3] * m[:3, 2] + m[:3, 3]
+    )
+    w = (
+        p[..., 0:1] * m[3:4, 0] + p[..., 1:2] * m[3:4, 1]
+        + p[..., 2:3] * m[3:4, 2] + m[3:4, 3]
+    )
+    return lin / w
 
 
 def xfm_vector(m, v):
     """Apply the linear part of a 4x4 (or 3x3) matrix to vectors."""
-    return jnp.einsum("ij,...j->...i", m[:3, :3], v)
+    return (
+        v[..., 0:1] * m[:3, 0] + v[..., 1:2] * m[:3, 1]
+        + v[..., 2:3] * m[:3, 2]
+    )
 
 
 def mat3_apply(m, v):
-    return jnp.einsum("ij,...j->...i", m, v)
+    return (
+        v[..., 0:1] * m[:3, 0] + v[..., 1:2] * m[:3, 1]
+        + v[..., 2:3] * m[:3, 2]
+    )
 
 
 def look_at_matrix(pos, look, up):

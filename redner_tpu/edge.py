@@ -44,8 +44,15 @@ from redner_tpu.scene import FlatScene
 # Dihedral-angle threshold: near-coplanar interior edges never become
 # silhouettes and are dropped (src/edge.h:187-196 analog).
 COPLANAR_EPS = 1e-6
-# Screen-space offset of the primary-edge ray pair (src/edge.cpp:438-441).
-PRIMARY_EDGE_OFFSET = 1e-6
+# Screen-space offset of the primary-edge ray pair.  The reference uses
+# 1e-6 in double precision (src/edge.cpp:438-441); in f32 — and through
+# the TPU MT matmul even at Precision.HIGHEST (bf16-multipass, ~2^-21
+# effective) — 1e-6 of the screen is at/below the classification noise
+# floor and the pair stops straddling (measured: CPU primary-pass blocker
+# gradient -5.2, TPU +0.01).  1e-5 of the screen = 0.26% of a pixel at
+# 256px: still far below pixel scale (negligible bias) and robustly
+# resolvable on both platforms.
+PRIMARY_EDGE_OFFSET = 1e-5
 # Half-plane offset scale of the secondary-edge ray pair (src/edge.cpp:1674).
 SECONDARY_EDGE_OFFSET = 1e-5
 # Importance-resampling candidate count.  The reference uses M=64 UNIFORM

@@ -568,6 +568,7 @@ def trace_radiance(
     coherent: bool = False,
     secondary_d_pixel=None,
     secondary_edge_table=None,
+    secondary_lane_sharding=None,
     precise_primary: bool = False,
 ):
     """Full-path radiance estimate for arbitrary primary rays -> (n, 3).
@@ -661,11 +662,23 @@ def trace_radiance(
             )
             ls = _sample_light_point(fs, sp.position, light_u)
             sray = ls["shadow_ray"]
+            # ALL sweeps below trace rays whose ORIGINS lie on scene
+            # geometry: at the TPU matmul's default bf16 precision the
+            # originating surface re-appears as a phantom hit at
+            # |t| ~ 1e-2..1e-1 (absolute noise of the bf16 products),
+            # well past the 1e-3 tmin — measured: 28% of toy-scene pixels
+            # off by >5%, forward image 34% darker from phantom
+            # self-shadowing.  precise=True (Precision.HIGHEST) is a
+            # CORRECTNESS requirement here, not a tuning choice; camera
+            # primaries stay on the fast path (origins off-geometry,
+            # winners re-derived in exact f32).
             if options.split_shadow_sweep or SPLIT_SHADOW_SWEEP:
                 # Shadow rays through the anyhit early-exit kernel,
                 # continuation rays through closest-hit.
-                blocked = accel.occluded(fs, sray, presorted=coherent)
-                bsdf_isect = accel.intersect(fs, bsdf_ray, presorted=coherent)
+                blocked = accel.occluded(fs, sray, presorted=coherent,
+                                         precise=True)
+                bsdf_isect = accel.intersect(fs, bsdf_ray, presorted=coherent,
+                                             precise=True)
             else:
                 # Batch the shadow and continuation rays through ONE sweep:
                 # halves the per-call kernel overhead vs occluded +
@@ -683,7 +696,8 @@ def trace_radiance(
                 # spatially tight per 512-ray tile, so the Morton coherence
                 # sort only buys a finer direction split; skipping it
                 # avoids the permute gather + unsort scatter.
-                both_isect = accel.intersect(fs, both, presorted=coherent)
+                both_isect = accel.intersect(fs, both, presorted=coherent,
+                                             precise=True)
                 blocked = both_isect.valid[:n]
                 bsdf_isect = Intersection(
                     tri_id=both_isect.tri_id[n:],
@@ -694,7 +708,8 @@ def trace_radiance(
             nee_dir = ls["shadow_ray"].dir
         else:
             nee = jnp.zeros((n, 3), dtype)
-            bsdf_isect = accel.intersect(fs, bsdf_ray, presorted=coherent)
+            bsdf_isect = accel.intersect(fs, bsdf_ray, presorted=coherent,
+                                         precise=True)
             nee_dir = None
         bsdf_sp, bsdf_diff = _surface_point_at(fs, bsdf_isect, bsdf_ray, wo_diff)
 
@@ -710,6 +725,7 @@ def trace_radiance(
                 fs, options, seed, lane_ids, sample_id, bounce,
                 sp, lm, wi, min_rough, active, throughput,
                 secondary_d_pixel, nee_dir, secondary_edge_table,
+                lane_sharding=secondary_lane_sharding,
             )
 
         throughput = jnp.where(active[..., None], throughput * scatter_bsdf, 0.0)
@@ -737,7 +753,8 @@ def trace_radiance(
 
 def _secondary_edge_term(fs, options, seed, lane_ids, sample_id, bounce,
                          sp, lm, wi, min_rough, active, throughput,
-                         d_pixel, nee_dir, edge_table=None):
+                         d_pixel, nee_dir, edge_table=None,
+                         lane_sharding=None):
     """One bounce's secondary-edge surrogate, fed from the live wavefront
     state (the backward's edge pass runs INSIDE the AD re-render's bounce
     loop so intersections/light samples/materials are shared — reference
@@ -770,9 +787,20 @@ def _secondary_edge_term(fs, options, seed, lane_ids, sample_id, bounce,
     # bounce skip secondary edge sampling (src/edge.cpp:1396-1401).
     sec_active = active & (min_rough <= 1e-2)
     d_pix = sgd(throughput) * d_pixel
+    sp_pos = sp.position
+    if lane_sharding is not None:
+        # The surrogate's only array OUTPUT is a scalar, so GSPMD has no
+        # forward anchor and (measured) replicates the entire candidate
+        # phase on every device; re-anchor the per-lane inputs here
+        # (per-device FLOP fraction of the secondary-only backward on the
+        # 8-device mesh: 1.00 -> divides after this constraint).
+        from redner_tpu.core.shardutil import constrain_divisible
+
+        d_pix = constrain_divisible(d_pix, lane_sharding)
+        sp_pos = constrain_divisible(sp_pos, lane_sharding)
     return secondary_edge_surrogate(
         fs, options, seed, sample_id,
-        sp.position, wi, bsdf_eval, trace_radiance,
+        sp_pos, wi, bsdf_eval, trace_radiance,
         d_pix, sec_active, nee_dir=nee_dir,
         dim_base=100 + 32 * bounce,
         bsdf_pdf_fn=bsdf_pdf_eval,
@@ -830,6 +858,7 @@ def render_sample(
     pixel_order=None,
     secondary_d_pixel=None,
     secondary_edge_table=None,
+    secondary_lane_sharding=None,
     precise_primary: bool = False,
 ):
     """Trace one sample per pixel; returns (num_pixels, C) contribution
@@ -904,6 +933,7 @@ def render_sample(
             coherent=primary_rays is None and pixel_order is not None,
             secondary_d_pixel=secondary_d_pixel,
             secondary_edge_table=secondary_edge_table,
+            secondary_lane_sharding=secondary_lane_sharding,
         )
         if secondary_d_pixel is not None:
             radiance, surr = radiance
@@ -1020,6 +1050,7 @@ def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
                 fs, camera, options, seed, sample_vec, pixel_order=order_t,
                 secondary_d_pixel=d_lane * jnp.repeat(w, n_pad)[:, None],
                 secondary_edge_table=edge_table,
+                secondary_lane_sharding=pixel_sharding,
             )
         else:
             contrib = render_sample(
