@@ -670,8 +670,13 @@ def primary_edge_screen_gradient_image(
 # keeps full support so RIS stays unbiased for non-shadow discontinuities
 # (reference splits strategies with pmf 0.5, src/edge.cpp:1458-1467; a
 # smooth kernel + floor is the branchless equivalent).
-NEE_SIGMA = 0.3
-NEE_FLOOR = 0.05
+# Pinned by the recorded sweep (tools/sweep_ris.py, PERF.md r3): on the
+# diffuse + glossy shadow ladders at 24 seeds, sigma 0.15 / floor 0.01
+# lands within 3.7%/8.5% of the FD reference while the previous
+# 0.3/0.05 sat 48%/72% off (same std — a tighter proposal shrinks the
+# heavy-tail underestimate, it does not bias the estimator).
+NEE_SIGMA = 0.15
+NEE_FLOOR = 0.01
 T_CANDIDATES = 8
 
 
