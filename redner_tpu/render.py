@@ -66,7 +66,7 @@ class RenderOptions:
         num_edge_samples: Optional[int] = None,
         max_generic_texture_dimension: int = 16,
         remat: bool = False,
-        split_shadow_sweep: bool = False,
+        split_shadow_sweep: bool = True,
     ):
         # (forward, backward) sample counts, reference-style: an int means
         # both passes use it (pyredner num_samples tuple semantics).
@@ -96,9 +96,12 @@ class RenderOptions:
         self.remat = bool(remat)
         # Trace NEE shadow rays through the anyhit early-exit occluded()
         # kernel instead of batching them with continuation rays into one
-        # closest-hit sweep.  A wash at teapot scale (130.8 vs 132.6 ms,
-        # PERF.md); worth trying on much larger scenes where anyhit's
-        # early exit should dominate the batched sweep's amortization.
+        # closest-hit sweep.  Was a wash at bf16 matmul prices (130.8 vs
+        # 132.6 ms); at the precise (HIGHEST) prices the on-geometry
+        # sweeps now require, the early exit wins: teapot edge backward
+        # 1234 -> 1155 ms (PERF.md r3), so it defaults ON.  The two paths
+        # are numerically identical (test_split_shadow_sweep_matches_
+        # batched).
         self.split_shadow_sweep = bool(split_shadow_sweep)
         # Immutable from here on: options key jit caches (render_grad
         # caches executables per options value), so post-hoc mutation
