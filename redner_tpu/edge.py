@@ -113,13 +113,24 @@ def build_edges(fs: FlatScene) -> EdgeSoA:
     )
 
 
-# 2-level secondary-edge sampler: number of spatial clusters and the
-# (derived) slot count per cluster.  The TPU-shaped stand-in for the
-# reference's 6D Hough edge BVH + LTC traversal (src/edge_tree.cpp:724-882,
-# src/edge.cpp:1115-1237): fixed two-level CDF instead of a divergent tree
-# walk — level 1 is a dense per-shading-point importance over C clusters
-# (broadcast math, no gathers), level 2 a uniform slot inside the cluster.
-EDGE_CLUSTERS = 128
+# 2-level secondary-edge sampler: cluster count scales with the edge
+# count to hold the slot density near the teapot-validated operating
+# point (~368 slots/cluster at E=47k, C=128 — the variance/cost knee in
+# the PERF.md C sweep), capped so the dense (P, C) level-1 scoring stays
+# cheap.  Small scenes get one cluster PER EDGE (exact per-edge
+# importance).  The TPU-shaped stand-in for the reference's 6D Hough
+# edge BVH + LTC traversal (src/edge_tree.cpp:724-882,
+# src/edge.cpp:1115-1237): fixed two-level CDF instead of a divergent
+# tree walk — level 1 is a dense per-shading-point importance over C
+# clusters (broadcast math, no gathers), level 2 a uniform slot inside
+# the cluster.
+EDGE_SLOT_TARGET = 368
+EDGE_CLUSTERS_MAX = 512
+
+
+def _num_clusters(E: int) -> int:
+    return max(1, min(EDGE_CLUSTERS_MAX, E,
+                      max(32, -(-E // EDGE_SLOT_TARGET))))
 
 
 class EdgeTable(NamedTuple):
@@ -206,7 +217,7 @@ def build_edge_table(fs: FlatScene) -> EdgeTable:
     )
     order = jnp.argsort(key).astype(jnp.int32)
 
-    C = max(1, min(EDGE_CLUSTERS, E))
+    C = _num_clusters(E)
     S = -(-E // C)
     pad = C * S - E
     order_p = jnp.concatenate(

@@ -30,7 +30,8 @@ args = [a for a in sys.argv[1:] if not a.startswith("--")]
 if len(args) >= 1:
     edge_mod.RESAMPLE_M = int(args[0])
 if len(args) >= 2:
-    edge_mod.EDGE_CLUSTERS = int(args[1])
+    _c = int(args[1])
+    edge_mod._num_clusters = lambda E, c=_c: max(1, min(c, E))
 if len(args) >= 3:
     edge_mod.NEE_SIGMA = float(args[2])
 N_SEEDS = 16
@@ -98,7 +99,7 @@ def main():
     ])
     rel = gs.mean() / fds.mean() if fds.mean() != 0 else float("nan")
     print(
-        f"M={edge_mod.RESAMPLE_M} C={edge_mod.EDGE_CLUSTERS} "
+        f"M={edge_mod.RESAMPLE_M} C={edge_mod._num_clusters(3 * 15744)} "
         f"sigma={edge_mod.NEE_SIGMA} | grad {gs.mean():+.4f} "
         f"(std {gs.std():.4f}, se {gs.std()/np.sqrt(N_SEEDS):.4f}, "
         f"{tg*1e3:.0f} ms/eval) | fd {fds.mean():+.4f} "
