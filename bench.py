@@ -157,6 +157,7 @@ def main():
 
     dt_edges = time_it(fwdbwd_edges)
     dt_ad = time_it(fwdbwd)
+    dt_fwd = time_it(fwd)
 
     num_pixels = res[0] * res[1]
     rays_per_sample = 1 + 2 * max_bounces
@@ -194,6 +195,7 @@ def main():
                 "vs_baseline": None,
                 "edge_on_wall_ms": round(dt_edges * 1e3, 1),
                 "ad_only_wall_ms": round(dt_ad * 1e3, 1),
+                "forward_wall_ms": round(dt_fwd * 1e3, 1),
                 "ad_only_rays_per_s": round(fwd_rays / dt_ad),
                 "edge_on_fwd_convention_rays_per_s": round(
                     fwd_rays / dt_edges
