@@ -68,8 +68,7 @@ def test_primary_edge_qmc_reduces_variance():
             num_samples=1, max_bounces=1, sampler_type=sampler_type
         )
 
-        @jax.jit
-        def g(seed):
+        def g1(seed):
             def surr(tx):
                 v = tri.vertices + jnp.array([tx, 0.0, 0.0])
                 s = scene.replace(
@@ -81,11 +80,11 @@ def test_primary_edge_qmc_reduces_variance():
 
             return jax.grad(surr)(0.0)
 
-        return g
+        return jax.jit(jax.vmap(g1))
 
     seeds = jnp.arange(24, dtype=jnp.uint32)
-    g_ind = np.array([make_grad(SamplerType.independent)(s) for s in seeds])
-    g_sob = np.array([make_grad(SamplerType.sobol)(s) for s in seeds])
+    g_ind = np.asarray(make_grad(SamplerType.independent)(seeds))
+    g_sob = np.asarray(make_grad(SamplerType.sobol)(seeds))
     assert np.isfinite(g_ind).all() and np.isfinite(g_sob).all()
     # Unbiasedness: means agree within combined standard errors (3 sigma).
     se = (g_ind.std() + g_sob.std()) / np.sqrt(len(seeds))

@@ -141,15 +141,17 @@ def test_indirect_shadow_gradient_matches_fd_two_bounce():
         img = rt.render(_indirect_shadow_scene(tx), options, seed=seed)
         return jnp.sum(W * img)
 
-    gfn = jax.jit(lambda seed: jax.grad(wloss)(jnp.asarray(0.0), opts, seed))
-    fdf = jax.jit(lambda tx, seed: wloss(tx, opts_fd, seed))
-    gs = np.array([float(gfn(jnp.uint32(s))) for s in range(16)])
+    # vmapped seed batches: one device call per estimator (dispatch-bound
+    # otherwise; values identical to the sequential loop).
+    gfn = jax.jit(jax.vmap(
+        lambda seed: jax.grad(wloss)(jnp.asarray(0.0), opts, seed)))
+    fdf = jax.jit(jax.vmap(lambda tx, seed: wloss(tx, opts_fd, seed),
+                           in_axes=(None, 0)))
+    gs = np.asarray(gfn(jnp.arange(16, dtype=jnp.uint32)))
     eps = 0.15
-    fds = np.array([
-        (float(fdf(jnp.asarray(eps), jnp.uint32(s)))
-         - float(fdf(jnp.asarray(-eps), jnp.uint32(s)))) / (2 * eps)
-        for s in range(12)
-    ])
+    sfd = jnp.arange(12, dtype=jnp.uint32)
+    fds = (np.asarray(fdf(jnp.asarray(eps), sfd))
+           - np.asarray(fdf(jnp.asarray(-eps), sfd))) / (2 * eps)
     assert np.isfinite(gs).all()
     assert abs(fds.mean()) > 20.0, fds.mean()  # FD must carry real signal
     assert abs(gs.mean() - fds.mean()) <= 0.4 * abs(fds.mean()), (

@@ -162,15 +162,16 @@ def test_teapot_scale_shadow_gradient_matches_fd():
     def wloss(tx, options, seed):
         return jnp.sum(W * rt.render(scene_at(tx), options, seed=seed))
 
-    gfn = jax.jit(lambda seed: jax.grad(wloss)(jnp.asarray(0.0), opts, seed))
-    fdf = jax.jit(lambda tx, seed: wloss(tx, opts_fd, seed))
-    gs = np.array([float(gfn(jnp.uint32(s))) for s in range(24)])
+    # vmapped seed batches (dispatch-bound otherwise; identical values).
+    gfn = jax.jit(jax.vmap(
+        lambda seed: jax.grad(wloss)(jnp.asarray(0.0), opts, seed)))
+    fdf = jax.jit(jax.vmap(lambda tx, seed: wloss(tx, opts_fd, seed),
+                           in_axes=(None, 0)))
+    gs = np.asarray(gfn(jnp.arange(24, dtype=jnp.uint32)))
     eps = 8.0
-    fds = np.array([
-        (float(fdf(jnp.asarray(eps), jnp.uint32(s)))
-         - float(fdf(jnp.asarray(-eps), jnp.uint32(s)))) / (2 * eps)
-        for s in range(12)
-    ])
+    sfd = jnp.arange(12, dtype=jnp.uint32)
+    fds = (np.asarray(fdf(jnp.asarray(eps), sfd))
+           - np.asarray(fdf(jnp.asarray(-eps), sfd))) / (2 * eps)
     assert np.isfinite(gs).all()
     g_se = gs.std() / np.sqrt(len(gs))
     fd_se = fds.std() / np.sqrt(len(fds))

@@ -109,37 +109,39 @@ def _weighted_loss(t4, options, seed):
     return jnp.sum(_W * img)
 
 
-_grad4 = jax.jit(
+# Seed batches are vmapped into ONE device call each: the per-seed evals
+# are tiny at 24x24, so a sequential Python loop was dispatch-bound
+# (measured 12 sequential grads ~15 s of compute vs 1.2 s vmapped, with
+# identical values — same seeds, same estimator, same assertions).
+_grad4 = jax.jit(jax.vmap(
     lambda seed: jax.grad(_weighted_loss)(jnp.zeros(4), _OPTS, seed)
-)
-_grad4_noedge = jax.jit(
+))
+_grad4_noedge = jax.jit(jax.vmap(
     lambda seed: jax.grad(_weighted_loss)(jnp.zeros(4), _OPTS_NOEDGE, seed)
-)
-_fd_loss = jax.jit(lambda t4, seed: _weighted_loss(t4, _OPTS_FD, seed))
+))
+_fd_loss = jax.jit(jax.vmap(
+    lambda t4, seed: _weighted_loss(t4, _OPTS_FD, seed),
+    in_axes=(None, 0),
+))
 
 
 @pytest.fixture(scope="module")
 def ladder():
     """Seed-averaged gradient, no-edge gradient, and FD for all 4 params."""
     n_g, n_fd = 48, 24
-    g = np.mean([np.asarray(_grad4(jnp.uint32(s))) for s in range(n_g)], axis=0)
-    g_ne = np.mean(
-        [np.asarray(_grad4_noedge(jnp.uint32(s))) for s in range(8)], axis=0
-    )
+    g = np.asarray(_grad4(jnp.arange(n_g, dtype=jnp.uint32))).mean(axis=0)
+    g_ne = np.asarray(
+        _grad4_noedge(jnp.arange(8, dtype=jnp.uint32))
+    ).mean(axis=0)
     eps4 = np.array([0.1, 0.1, 0.1, 0.05])
+    seeds = jnp.arange(n_fd, dtype=jnp.uint32)
     fd = np.zeros(4)
     for k in range(4):
         e = np.zeros(4)
         e[k] = eps4[k]
-        vals = [
-            (
-                float(_fd_loss(jnp.asarray(e, jnp.float32), jnp.uint32(s)))
-                - float(_fd_loss(jnp.asarray(-e, jnp.float32), jnp.uint32(s)))
-            )
-            / (2 * eps4[k])
-            for s in range(n_fd)
-        ]
-        fd[k] = np.mean(vals)
+        hi = np.asarray(_fd_loss(jnp.asarray(e, jnp.float32), seeds))
+        lo = np.asarray(_fd_loss(jnp.asarray(-e, jnp.float32), seeds))
+        fd[k] = np.mean((hi - lo) / (2 * eps4[k]))
     return g, g_ne, fd
 
 
