@@ -275,23 +275,20 @@ def test_clipped_triangle_edge_gradient_matches_fd():
             area_lights=[rt.make_area_light(1, [20.0, 20.0, 20.0])],
         )
 
-    @jax.jit
-    def gfn(seed):
-        def loss(tx):
-            return jnp.sum(rt.render(make(tx), opts, seed=seed))
-        return jax.grad(loss)(0.0)
+    # vmapped seed batches (dispatch-bound otherwise; same values).
+    gfn = jax.jit(jax.vmap(lambda seed: jax.grad(
+        lambda tx: jnp.sum(rt.render(make(tx), opts, seed=seed)))(0.0)))
+    lfn = jax.jit(jax.vmap(
+        lambda tx, seed: jnp.sum(rt.render_image(make(tx), opts, seed=seed)),
+        in_axes=(None, 0)))
 
-    @jax.jit
-    def lfn(tx, seed):
-        return jnp.sum(rt.render_image(make(tx), opts, seed=seed))
-
-    g = np.mean([float(gfn(jnp.uint32(s))) for s in range(8)])
+    seeds = jnp.arange(8, dtype=jnp.uint32)
+    g = float(np.mean(np.asarray(gfn(seeds))))
     eps = 0.03
-    fd = np.mean([
-        (float(lfn(eps, jnp.uint32(s))) - float(lfn(-eps, jnp.uint32(s))))
+    fd = float(np.mean(
+        (np.asarray(lfn(eps, seeds)) - np.asarray(lfn(-eps, seeds)))
         / (2 * eps)
-        for s in range(8)
-    ])
+    ))
     assert np.isfinite(g)
     assert abs(fd) > 0.5, fd
     assert abs(g - fd) <= 0.35 * abs(fd), (g, fd)
@@ -323,23 +320,20 @@ def _coverage_scale_check(camera_type, vertices, rtol=0.35, nseeds=8):
         v = centroid + (base - centroid) * (1.0 + s_)
         return _nonlinear_cam_scene(camera_type, v)
 
-    @jax.jit
-    def gfn(seed):
-        return jax.grad(
-            lambda s_: jnp.sum(rt.render(make(s_), opts, seed=seed))
-        )(0.0)
+    # vmapped seed batches (dispatch-bound otherwise; same values).
+    gfn = jax.jit(jax.vmap(lambda seed: jax.grad(
+        lambda s_: jnp.sum(rt.render(make(s_), opts, seed=seed)))(0.0)))
+    lfn = jax.jit(jax.vmap(
+        lambda s_, seed: jnp.sum(rt.render_image(make(s_), opts, seed=seed)),
+        in_axes=(None, 0)))
 
-    @jax.jit
-    def lfn(s_, seed):
-        return jnp.sum(rt.render_image(make(s_), opts, seed=seed))
-
-    g = np.mean([float(gfn(jnp.uint32(s))) for s in range(nseeds)])
+    seeds = jnp.arange(nseeds, dtype=jnp.uint32)
+    g = float(np.mean(np.asarray(gfn(seeds))))
     eps = 0.05
-    fd = np.mean([
-        (float(lfn(eps, jnp.uint32(s))) - float(lfn(-eps, jnp.uint32(s))))
+    fd = float(np.mean(
+        (np.asarray(lfn(eps, seeds)) - np.asarray(lfn(-eps, seeds)))
         / (2 * eps)
-        for s in range(nseeds)
-    ])
+    ))
     assert np.isfinite(g)
     assert abs(fd) > 0.5, fd
     assert abs(g - fd) <= rtol * abs(fd), (g, fd)
