@@ -76,18 +76,59 @@ class EdgeSoA(NamedTuple):
     valid: jnp.ndarray  # (E,) bool — first occurrence of a geometric edge
 
 
+def _weld_vertex_ids(fs: FlatScene) -> jnp.ndarray:
+    """(V,) canonical vertex id per vertex: vertices of the SAME shape at
+    bit-identical positions share one id (the smallest original id).
+
+    OBJ exports with per-face vertex splits (flat shading, per-corner UVs)
+    would otherwise make every edge key unique, so build_edges would
+    classify ALL edges as boundary (= always-silhouette) and flood the
+    edge estimators.  The reference rebuilds topology at load
+    (pyredner/shape.py compute_vertex_normal path + src/redner.cpp
+    rebuild_topology); here the weld is a pure keying step — geometry,
+    normals, and UVs keep the original per-face vertices.  Exact equality
+    only (duplicated vertices are bit-identical); per-shape so abutting
+    shapes never fuse."""
+    sg = jax.lax.stop_gradient
+    v = sg(fs.vertices)
+    V = v.shape[0]
+    flat = fs.faces.reshape(-1)
+    vshape = (
+        jnp.zeros((V,), jnp.int32)
+        .at[flat]
+        .set(jnp.repeat(fs.face_shape_id, 3))
+    )
+    order = jnp.lexsort((v[:, 2], v[:, 1], v[:, 0], vshape))
+    vs = v[order]
+    ss = vshape[order]
+    same = jnp.concatenate(
+        [
+            jnp.zeros((1,), bool),
+            (ss[1:] == ss[:-1]) & jnp.all(vs[1:] == vs[:-1], axis=-1),
+        ]
+    )
+    # Forward-fill each group's first sorted position; lexsort is stable,
+    # so the first element of a group holds the smallest original id.
+    start_pos = jnp.where(~same, jnp.arange(V, dtype=jnp.int32), 0)
+    first_pos = jax.lax.cummax(start_pos)
+    canon_sorted = order[first_pos]
+    return jnp.zeros((V,), jnp.int32).at[order].set(canon_sorted)
+
+
 def build_edges(fs: FlatScene) -> EdgeSoA:
     """Extract unique mesh edges with adjacency, fully on device.
 
-    Candidates are the 3 edges of every face, keyed by the sorted vertex
-    pair; a lexicographic sort brings duplicates together and a
-    first-occurrence mask dedupes with *static* output shape (3F,)
-    (reference thrust sort + reduce_by_key, src/edge.cpp:250-296).
+    Candidates are the 3 edges of every face, keyed by the sorted
+    POSITION-WELDED vertex pair (see _weld_vertex_ids); a lexicographic
+    sort brings duplicates together and a first-occurrence mask dedupes
+    with *static* output shape (3F,) (reference thrust sort +
+    reduce_by_key, src/edge.cpp:250-296).
     """
     faces = fs.faces  # (F, 3)
     F = faces.shape[0]
-    a = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
-    b = jnp.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    canon = _weld_vertex_ids(fs)
+    a = canon[jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])]
+    b = canon[jnp.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])]
     lo = jnp.minimum(a, b)
     hi = jnp.maximum(a, b)
     face_id = jnp.tile(jnp.arange(F, dtype=jnp.int32), 3)

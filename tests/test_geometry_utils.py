@@ -88,6 +88,28 @@ def test_weld_then_edges_shared():
     assert valid.sum() == 5
     assert ((f1 >= 0) & valid).sum() == 1
 
+    # The UNWELDED mesh must classify identically: build_edges keys on
+    # position-welded canonical ids (_weld_vertex_ids), so per-face
+    # vertex splits no longer turn every edge into a boundary edge
+    # (reference runs rebuild_topology at load for the same reason).
+    scene_u = rt.make_scene(cam, [rt.make_shape(vertices=v, indices=f)],
+                            [mat])
+    edges_u = build_edges(flatten_scene(scene_u))
+    valid_u = np.asarray(edges_u.valid)
+    f1_u = np.asarray(edges_u.f1)
+    assert valid_u.sum() == 5
+    assert ((f1_u >= 0) & valid_u).sum() == 1
+
+    # Coincident vertices across DIFFERENT shapes must NOT fuse.
+    tri0 = rt.make_shape(vertices=v[:3], indices=[[0, 1, 2]])
+    tri1 = rt.make_shape(vertices=v[3:], indices=[[0, 1, 2]])
+    edges_2s = build_edges(flatten_scene(
+        rt.make_scene(cam, [tri0, tri1], [mat])))
+    valid_2s = np.asarray(edges_2s.valid)
+    f1_2s = np.asarray(edges_2s.f1)
+    assert valid_2s.sum() == 6
+    assert ((f1_2s >= 0) & valid_2s).sum() == 0
+
 
 def test_sh_basis_orthonormal_and_matches_l2():
     """General-order SH (reference pyredner/utils.py:10-62): the recurrence
