@@ -31,6 +31,59 @@ from redner_tpu.ops.intersect import ray_features, triangle_coefficients
 TILE_N = 512  # rays per tile
 CHUNK = 512  # triangles per chunk
 
+# How `precise=True` sweeps compute the MT matmul.  Mosaic's
+# Precision.HIGHEST costs ~11x a default-precision step (measured on the
+# teapot edge backward: 417 ms/iter vs 37 ms); a manual f32 = hi + lo
+# bf16 decomposition needs only 4 default passes for ~2^-18 relative
+# accuracy — enough for both precise-sweep requirements (the edge pairs'
+# 1e-5 offsets and the on-geometry phantom-self-hit t noise; see
+# PERF.md "precise premium").  "split6" (3-way split, 6 passes) is the
+# full-f32-accuracy fallback; "highest" keeps the Mosaic path for A/B.
+PRECISE_MODE = "split4"
+
+
+def _mt_terms(R, T, mode):
+    """R (TILE_N, 10) @ T (10, 4*CHUNK) at the requested accuracy."""
+    if mode is None:
+        return jnp.dot(R, T, preferred_element_type=jnp.float32)
+    if mode == "highest":
+        return jnp.dot(R, T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
+    R_hi = R.astype(bf16)
+    T_hi = T.astype(bf16)
+    r1 = R - R_hi.astype(f32)
+    t1 = T - T_hi.astype(f32)
+    if mode == "split4":
+        R_lo = r1.astype(bf16)
+        T_lo = t1.astype(bf16)
+        # Small terms first: f32 accumulation stays exact longer.
+        return (
+            (dot(R_lo, T_lo) + dot(R_lo, T_hi))
+            + dot(R_hi, T_lo)
+        ) + dot(R_hi, T_hi)
+    if mode == "split6":
+        R_mid = r1.astype(bf16)
+        T_mid = t1.astype(bf16)
+        R_lo = (r1 - R_mid.astype(f32)).astype(bf16)
+        T_lo = (t1 - T_mid.astype(f32)).astype(bf16)
+        return (
+            (dot(R_hi, T_lo) + dot(R_mid, T_mid) + dot(R_lo, T_hi))
+            + (dot(R_mid, T_hi) + dot(R_hi, T_mid))
+        ) + dot(R_hi, T_hi)
+    raise ValueError(f"unknown precise mode {mode!r}")
+
+
+def _resolve_mode(precise):
+    """Map the public `precise` flag/string to a _mt_terms mode."""
+    if precise is False or precise is None:
+        return None
+    if precise is True:
+        return PRECISE_MODE
+    return precise
+
 
 def _closest_kernel(tile_ref, chunk_ref, first_ref, R_ref, T_ref, tmin_ref,
                     tmax_ref, bt_ref, bi_ref, precision=None):
@@ -50,12 +103,11 @@ def _closest_kernel(tile_ref, chunk_ref, first_ref, R_ref, T_ref, tmin_ref,
 def _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref, chunk_id,
                   precision=None):
     # precision: None = fast MXU default (effectively bf16 inputs on TPU —
-    # fine for camera/shadow rays, whose hit PORTIONS are re-derived in
-    # exact f32 from the winning ids).  The EDGE-SAMPLING passes need
-    # HIGHEST: their offset-ray pairs differ by ~1e-5 in direction, which
-    # vanishes in bf16 and silently zeroes every visibility gradient.
-    terms = jnp.dot(R_ref[:], T_ref[:], preferred_element_type=jnp.float32,
-                    precision=precision)
+    # fine for camera rays, whose hit points are re-derived in exact f32
+    # from the winning ids).  PRECISE sweeps (on-geometry origins + the
+    # edge passes' ~1e-5 offset-ray pairs, which vanish in bf16 and
+    # silently zero every visibility gradient) use a _mt_terms mode.
+    terms = _mt_terms(R_ref[:], T_ref[:], precision)
     det = terms[:, 0 * CHUNK : 1 * CHUNK]
     u_num = terms[:, 1 * CHUNK : 2 * CHUNK]
     v_num = terms[:, 2 * CHUNK : 3 * CHUNK]
@@ -106,8 +158,7 @@ def _anyhit_kernel(tile_ref, chunk_ref, first_ref, R_ref, T_ref, tmin_ref,
 
 def _anyhit_body(R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref,
                  precision=None):
-    terms = jnp.dot(R_ref[:], T_ref[:], preferred_element_type=jnp.float32,
-                    precision=precision)
+    terms = _mt_terms(R_ref[:], T_ref[:], precision)
     det = terms[:, 0 * CHUNK : 1 * CHUNK]
     u_num = terms[:, 1 * CHUNK : 2 * CHUNK]
     v_num = terms[:, 2 * CHUNK : 3 * CHUNK]
@@ -365,11 +416,13 @@ class _Squeeze:
 
 def intersect_pallas(fs, ray: Ray, interpret: bool = False,
                      presorted: bool = False,
-                     precise: bool = False) -> Intersection:
+                     precise=False) -> Intersection:
     """Closest hit via the fused Pallas kernel with tile-chunk culling.
 
-    precise: run the MT matmul at Precision.HIGHEST (full f32) — required
-    for edge-sampling offset-ray pairs; see _closest_body."""
+    precise: True = exact-enough MT matmul (PRECISE_MODE's bf16-split
+    decomposition) — required for edge-sampling offset-ray pairs and
+    on-geometry origins; a mode string ("highest"/"split4"/"split6")
+    selects explicitly.  See _mt_terms/_closest_body."""
     Tc, idx_map, cl_min, cl_max = _coeff_layout(fs)
     nchunks = Tc.shape[0]
     (R, tmin_p, tmax_p, n, ntile, live, (org_p, d_p, live_p),
@@ -383,8 +436,7 @@ def intersect_pallas(fs, ray: Ray, interpret: bool = False,
 
     best_t, best_i = pl.pallas_call(
         functools.partial(
-            _closest_kernel_wrap,
-            precision=jax.lax.Precision.HIGHEST if precise else None,
+            _closest_kernel_wrap, precision=_resolve_mode(precise),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((ntile * TILE_N, 1), jnp.float32),
@@ -450,8 +502,7 @@ def occluded_pallas(fs, ray: Ray, interpret: bool = False,
 
     blocked = pl.pallas_call(
         functools.partial(
-            _anyhit_kernel_wrap,
-            precision=jax.lax.Precision.HIGHEST if precise else None,
+            _anyhit_kernel_wrap, precision=_resolve_mode(precise),
         ),
         out_shape=jax.ShapeDtypeStruct((ntile * TILE_N, 1), jnp.int32),
         grid_spec=_grid_spec(
