@@ -504,6 +504,30 @@ def _sample_primary_edges(
     tt = t0[sel] + (t1[sel] - t0[sel]) * u[:, 1]  # param along full segment
     tt = sg(tt)
 
+    # Order the samples by a screen-position Morton key ONCE (chord-lerp
+    # preview — a sort key only, the exact projection follows below), so
+    # every 512-lane tile of the chunked evaluation covers a compact
+    # screen region.  The engines' per-sweep Morton coherence sorts then
+    # become redundant: rays_coherent=True below skips them (same
+    # argument as render_image's swizzled-pixel fast path; bounce-ray
+    # origins inherit the coherence).  The estimator is a sum over
+    # samples, so any deterministic reordering is value-preserving.
+    from redner_tpu.ops.cluster import _morton3
+
+    prev = jnp.nan_to_num(
+        sg((1.0 - tt)[:, None] * p0_pix[sel] + tt[:, None] * p1_pix[sel])
+    )
+    p_lo = jnp.min(prev, axis=0)
+    p_hi = jnp.max(prev, axis=0)
+    q = jnp.clip(
+        (prev - p_lo) / jnp.maximum(p_hi - p_lo, 1e-6) * 1023.0, 0.0, 1023.0
+    ).astype(jnp.int32)
+    perm = jnp.argsort(
+        _morton3(jnp.concatenate([q, jnp.zeros((N, 1), jnp.int32)], -1))
+    )
+    sel = sel[perm]
+    tt = tt[perm]
+
     # Differentiable screen point of the sample (pixel units), on the
     # near-plane-CLIPPED endpoints (behind-camera endpoints do not project).
     a_sel = a3[sel]
@@ -555,14 +579,23 @@ def _sample_primary_edges(
     # is differentiated), so large lane counts are chunked through lax.map
     # — bounding the live working set at EDGE_EVAL_CHUNK lanes with zero
     # residual cost, instead of one pixels*spp*2-lane mega-wavefront.
-    # RNG keys are the GLOBAL lane ids, so chunking never changes values.
+    # RNG keys are the SAMPLE ids, shared by the two sides of each pair
+    # (common random numbers): beyond the first hit, both sides draw the
+    # same NEE light point and bounce direction, so f_plus - f_minus
+    # isolates the visibility discontinuity instead of adding two
+    # independent path realizations (the reference likewise continues
+    # both half-space rays from one edge sample's sampler state,
+    # src/pathtracer.cpp:766-934).  Chunking never changes values.
     two_n = 2 * N
+    pair_lanes = jnp.tile(jnp.arange(N, dtype=jnp.int32), 2)
     if two_n > EDGE_EVAL_CHUNK:
         nch = -(-two_n // EDGE_EVAL_CHUNK)
         pad = nch * EDGE_EVAL_CHUNK - two_n
         org_p = jnp.concatenate([sg(both_org), jnp.zeros((pad, 3), dtype)])
         dir_p = jnp.concatenate([sg(both_dir), jnp.zeros((pad, 3), dtype)])
-        lanes = jnp.arange(nch * EDGE_EVAL_CHUNK, dtype=jnp.int32)
+        lanes = jnp.concatenate(
+            [pair_lanes, jnp.zeros((pad,), jnp.int32)]
+        )
 
         def _eval_chunk(args):
             o, d, l = args
@@ -574,6 +607,7 @@ def _sample_primary_edges(
                 ),
                 pixel_order=l,
                 precise_primary=True,
+                rays_coherent=True,
             )
             return jax.lax.stop_gradient(out)
 
@@ -591,7 +625,9 @@ def _sample_primary_edges(
         f_both = render_sample_fn(
             fs, camera, options, edge_seed, jnp.uint32(0),
             primary_rays=(both, RayDifferential.zero((2 * N,), dtype)),
+            pixel_order=pair_lanes,
             precise_primary=True,
+            rays_coherent=True,
         )  # (2N, C)
     f_plus = sg(f_both[:N])
     f_minus = sg(f_both[N:])
@@ -1065,7 +1101,11 @@ def secondary_edge_surrogate(
         ),
         tmax=jnp.full((2 * P,), jnp.inf, dtype),
     )
-    lane2 = jnp.concatenate([lane, lane + P])
+    # Common random numbers for the pair: both sides share lane keys, so
+    # their continuations (NEE light point, bounce direction) coincide and
+    # L_minus - L_plus isolates the visibility discontinuity instead of
+    # adding two independent path realizations.
+    lane2 = jnp.concatenate([lane, lane])
     sample2 = (
         jnp.concatenate([sample_id, sample_id])
         if jnp.ndim(sample_id) == 1 else sample_id
@@ -1076,6 +1116,10 @@ def secondary_edge_surrogate(
         camera_ray=False,  # directly_visible must not hide lights here
         return_emission=True,
         precise_primary=True,  # the pair split is ~1e-5: needs f32 MT
+        # NOT coherent: the edge-ray directions spread toward sampled
+        # silhouettes, so the engines' Morton sort (origin|direction key)
+        # buys real chunk-culling here — skipping it measured 1052 ->
+        # 1069 ms on the teapot edge backward (PERF.md negative results).
     )
     L_plus = sg(L_both[:P])
     L_minus = sg(L_both[P:])

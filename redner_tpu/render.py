@@ -608,7 +608,7 @@ def trace_radiance(
     # (TPU matmuls default to bf16 inputs, which erases the split and
     # silently zeroes the visibility gradient; accel.intersect docstring).
     isect = (
-        accel.intersect(fs, ray, precise=precise_primary)
+        accel.intersect(fs, ray, presorted=coherent, precise=precise_primary)
         if primary_isect is None else primary_isect
     )
     primary_valid = isect.valid
@@ -863,10 +863,15 @@ def render_sample(
     secondary_edge_table=None,
     secondary_lane_sharding=None,
     precise_primary: bool = False,
+    rays_coherent: bool = False,
 ):
     """Trace one sample per pixel; returns (num_pixels, C) contribution
     (unweighted — caller averages over samples), lane k = pixel
     pixel_order[k] (identity when None).
+
+    rays_coherent: the caller guarantees externally supplied primary_rays
+    are already tile-coherent (e.g. the edge passes' Morton-sorted
+    samples), so every sweep skips its own coherence sort.
 
     `jitter`/`primary_rays` overrides exist for the edge-sampling passes,
     which trace full paths from externally supplied rays
@@ -911,10 +916,12 @@ def render_sample(
         ray, ray_diff = primary_rays
 
     # Swizzled primary rays are already tile-coherent: skip the engines'
-    # Morton coherence sort (edge passes supply their own incoherent rays
-    # and still sort).
+    # Morton coherence sort (the edge passes pre-sort their samples by
+    # screen Morton and pass rays_coherent=True for the same skip).
     isect = accel.intersect(
-        fs, ray, presorted=primary_rays is None and pixel_order is not None,
+        fs, ray,
+        presorted=(primary_rays is None and pixel_order is not None)
+        or rays_coherent,
         precise=precise_primary,
     )
     sp, aov_diff = _surface_point_at(fs, isect, ray, ray_diff)
@@ -933,7 +940,8 @@ def render_sample(
         radiance = trace_radiance(
             fs, options, seed, pixel_ids, sample_id, ray, ray_diff,
             dim_start=dim.dim, primary_isect=isect,
-            coherent=primary_rays is None and pixel_order is not None,
+            coherent=(primary_rays is None and pixel_order is not None)
+            or rays_coherent,
             secondary_d_pixel=secondary_d_pixel,
             secondary_edge_table=secondary_edge_table,
             secondary_lane_sharding=secondary_lane_sharding,
