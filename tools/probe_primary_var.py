@@ -27,13 +27,15 @@ def main():
     from bench import teapot_scene
 
     seeds = 8
-    if "--seeds" in sys.argv:
-        seeds = int(sys.argv[sys.argv.index("--seeds") + 1])
+    argv = list(sys.argv[1:])
+    if "--seeds" in argv:
+        i = argv.index("--seeds")
+        seeds = int(argv[i + 1])
+        del argv[i : i + 2]  # remove the pair BEFORE positional parsing
     res = (256, 256)
     spp = 4
     full = res[0] * res[1] * spp
-    args = [a for a in sys.argv[1:] if not a.startswith("--")
-            and not a.isdigit()]
+    args = [a for a in argv if not a.startswith("--")]
     n_list = ([int(x) for x in args[0].split(",")] if args
               else [full, full // 2, full // 4])
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MODES = [None, "highest", "split4", "split6"]
+MODES = [None, "highest", "split4", "fused4", "fused9", "prescreen"]
 
 
 _QUAD_FS = None
