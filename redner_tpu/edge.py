@@ -88,9 +88,17 @@ def _weld_vertex_ids(fs: FlatScene) -> jnp.ndarray:
     rebuild_topology); here the weld is a pure keying step — geometry,
     normals, and UVs keep the original per-face vertices.  Exact equality
     only (duplicated vertices are bit-identical); per-shape so abutting
-    shapes never fuse."""
+    shapes never fuse.
+
+    Load-time eps welds compose in through fs.weld_ids (meshops.weld_ids
+    at load; reference rebuild_topology, src/rebuild_topology.cpp:9-50):
+    keying on each vertex's weld REPRESENTATIVE's position groups
+    near-duplicates exactly like bit-identical ones."""
     sg = jax.lax.stop_gradient
     v = sg(fs.vertices)
+    weld_ids = getattr(fs, "weld_ids", None)
+    if weld_ids is not None:
+        v = v[weld_ids]
     V = v.shape[0]
     flat = fs.faces.reshape(-1)
     vshape = (
@@ -511,11 +519,22 @@ def _sample_primary_edges(
     # become redundant: rays_coherent=True below skips them (same
     # argument as render_image's swizzled-pixel fast path; bounce-ray
     # origins inherit the coherence).  The estimator is a sum over
-    # samples, so any deterministic reordering is value-preserving.
+    # samples, so any deterministic reordering is distribution-preserving
+    # (unbiased) — NOT bit-exact vs the unsorted order: continuation RNG
+    # is keyed by post-permutation lane ids, so realized per-sample draws
+    # change with the ordering even though the expectation does not.
     from redner_tpu.ops.cluster import _morton3
 
-    prev = jnp.nan_to_num(
-        sg((1.0 - tt)[:, None] * p0_pix[sel] + tt[:, None] * p1_pix[sel])
+    # Clip to the viewport before quantizing: behind-camera / panorama-
+    # wrapped projections can be huge or ±inf, and data-range
+    # normalization would collapse (inf extent -> q NaN -> unsorted rays
+    # silently presented as coherent).
+    prev = jnp.clip(
+        jnp.nan_to_num(
+            sg((1.0 - tt)[:, None] * p0_pix[sel] + tt[:, None] * p1_pix[sel])
+        ),
+        0.0,
+        jnp.asarray([float(camera.width), float(camera.height)], dtype),
     )
     p_lo = jnp.min(prev, axis=0)
     p_hi = jnp.max(prev, axis=0)

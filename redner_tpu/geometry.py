@@ -41,6 +41,11 @@ class Shape:
     colors: Optional[jnp.ndarray] = None  # (V, 3)
     material_id: int = struct.field(pytree_node=False, default=0)
     light_id: int = struct.field(pytree_node=False, default=-1)
+    # Optional (V,) int32 canonical vertex id from a load-time eps weld
+    # (meshops.weld_ids) — a pure KEYING map for edge extraction; the
+    # rendered geometry keeps the split vertices (reference analog:
+    # rebuild_topology at load, src/rebuild_topology.cpp:9-50).
+    weld_ids: Optional[jnp.ndarray] = None
 
     @property
     def num_vertices(self):
@@ -53,7 +58,7 @@ class Shape:
 
 def make_shape(vertices, indices, uvs=None, normals=None, uv_indices=None,
                normal_indices=None, colors=None, material_id=0, light_id=-1,
-               dtype=jnp.float32) -> Shape:
+               weld_ids=None, dtype=jnp.float32) -> Shape:
     cast = lambda x: None if x is None else jnp.asarray(x, dtype)
     icast = lambda x: None if x is None else jnp.asarray(x, jnp.int32)
     return Shape(
@@ -66,6 +71,7 @@ def make_shape(vertices, indices, uvs=None, normals=None, uv_indices=None,
         colors=cast(colors),
         material_id=int(material_id),
         light_id=int(light_id),
+        weld_ids=icast(weld_ids),
     )
 
 

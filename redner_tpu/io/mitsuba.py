@@ -414,6 +414,11 @@ def load_mitsuba(filename: str, on_missing_mesh: str = "error"):
             if emission is not None:
                 light_id = len(lights)
                 lights.append(make_area_light(len(shapes), emission, two_sided=True))
+            # Load-time eps-weld keying for edge extraction (the
+            # reference calls rebuild_topology on every Mitsuba mesh,
+            # pyredner/load_mitsuba.py:296).
+            from redner_tpu.io.obj import _load_weld_ids
+
             shapes.append(
                 make_shape(
                     vertices=verts_w,
@@ -422,6 +427,9 @@ def load_mitsuba(filename: str, on_missing_mesh: str = "error"):
                     normals=normals,
                     material_id=mat_idx,
                     light_id=light_id,
+                    weld_ids=_load_weld_ids(
+                        np.asarray(verts_w, np.float32), "auto"
+                    ),
                 )
             )
         elif node.tag == "emitter":

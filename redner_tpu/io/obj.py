@@ -36,6 +36,35 @@ class TriangleMesh(NamedTuple):
     normals: Optional[np.ndarray]
     uv_indices: Optional[np.ndarray]
     normal_indices: Optional[np.ndarray]
+    # (V,) int32 eps-weld keying map for edge extraction, or None
+    # (reference rebuilds topology at load, src/rebuild_topology.cpp:9-50).
+    weld_ids: Optional[np.ndarray] = None
+
+
+def _load_weld_ids(verts: np.ndarray, weld_eps) -> Optional[np.ndarray]:
+    """Per-mesh load-time weld keying: near-duplicate split vertices
+    (reduced-precision exports) must not turn every edge into a boundary
+    edge in the silhouette tables.  'auto' keys eps to the mesh scale
+    (1e-6 x bbox diagonal ~ the quantization of a %.6g export).  Returns
+    None when nothing welds (the map would be identity) or the native
+    helper is unavailable."""
+    if weld_eps is None or verts.shape[0] < 2:
+        return None
+    eps = weld_eps
+    if eps == "auto":
+        diag = float(np.linalg.norm(verts.max(0) - verts.min(0)))
+        eps = 1e-6 * diag
+    if eps <= 0:
+        return None
+    try:
+        from redner_tpu import meshops
+
+        wids = meshops.weld_ids(verts, eps)
+    except Exception:
+        return None
+    if np.array_equal(wids, np.arange(verts.shape[0], dtype=np.int32)):
+        return None
+    return wids
 
 
 def _parse_mtl(path: str, dtype=np.float32):
@@ -115,6 +144,7 @@ def load_obj(
     flip_tex_coords: bool = True,
     use_common_indices: bool = False,
     return_objects: bool = False,
+    weld_eps="auto",
     dtype=np.float32,
 ):
     """Load an OBJ file.
@@ -126,6 +156,12 @@ def load_obj(
     material_map: {mtl_name: Material}
     mesh_list: [(mtl_name, TriangleMesh)]
     light_map: {mtl_name: intensity ndarray} for materials with Ke > 0
+
+    weld_eps: eps-weld keying for edge extraction ("auto" = 1e-6 x bbox
+    diagonal, a float for explicit, None to disable).  Geometry/UVs/
+    normals are NOT modified — only Shape.weld_ids is attached (the
+    reference rewrites topology at load instead,
+    src/rebuild_topology.cpp:9-50).
     """
     positions: List[List[float]] = []
     uvs: List[List[float]] = []
@@ -242,6 +278,7 @@ def load_obj(
                     normals=g_normals,
                     uv_indices=g_uvidx,
                     normal_indices=g_nidx,
+                    weld_ids=_load_weld_ids(verts, weld_eps),
                 ),
             )
         )
@@ -267,6 +304,7 @@ def load_obj(
                     uv_indices=mesh.uv_indices,
                     normal_indices=mesh.normal_indices,
                     light_intensity=light_map.get(name),
+                    weld_ids=mesh.weld_ids,
                 )
             )
         return objs

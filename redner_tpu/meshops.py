@@ -101,6 +101,31 @@ def weld_mesh(vertices, indices, uvs=None, eps: float = 1e-6):
     return new_v, new_f, new_u
 
 
+def weld_ids(vertices, eps: float) -> np.ndarray:
+    """(V,) int32 canonical ORIGINAL vertex id per vertex under an eps
+    position weld — a keying map only; geometry/UVs/normals untouched.
+
+    Used by the loaders so edge extraction sees shared faces on meshes
+    exported with per-face vertex splits at reduced precision (the
+    reference rebuilds topology at load, src/rebuild_topology.cpp:9-50 /
+    pyredner/load_mitsuba.py:296; here the weld feeds only
+    edge._weld_vertex_ids' silhouette keying)."""
+    v = np.ascontiguousarray(np.asarray(vertices, np.float32))
+    n = v.shape[0]
+    remap = np.empty((n,), np.int32)
+    out_v = np.empty_like(v)
+    lib = _lib()
+    count = lib.weld_vertices(
+        _fptr(v), n, None, ctypes.c_float(eps), _iptr(remap), _fptr(out_v),
+        _fptr(np.empty((0, 2), np.float32)),
+    )
+    # remap points at FIRST-occurrence welded slots, so the first
+    # original vertex of each group is its representative.
+    rep = np.full((count,), n, np.int64)
+    np.minimum.at(rep, remap, np.arange(n))
+    return rep[remap].astype(np.int32)
+
+
 def compute_uvs(vertices, indices, normal_cos_threshold: float = 0.75):
     """Automatic UV unwrap (reference pyredner.compute_uvs backed by xatlas,
     pyredner/shape.py:279-326): normal-clustered charts, planar projection,

@@ -29,6 +29,7 @@ class Object:
         light_intensity=None,
         light_two_sided: bool = False,
         directly_visible: bool = True,
+        weld_ids=None,
     ):
         self.vertices = jnp.asarray(vertices)
         self.indices = jnp.asarray(indices, jnp.int32)
@@ -47,6 +48,9 @@ class Object:
         )
         self.light_two_sided = light_two_sided
         self.directly_visible = directly_visible
+        self.weld_ids = (
+            None if weld_ids is None else jnp.asarray(weld_ids, jnp.int32)
+        )
 
 
 def scene_from_objects(camera, objects, envmap=None):
@@ -85,6 +89,7 @@ def scene_from_objects(camera, objects, envmap=None):
                 colors=obj.colors,
                 material_id=mat_ids[key],
                 light_id=light_id,
+                weld_ids=getattr(obj, "weld_ids", None),
             )
         )
     return make_scene(camera, shapes, materials, area_lights=lights, envmap=envmap)
