@@ -21,6 +21,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 MAX_MIP_LEVELS = 8  # src/texture.h:11
@@ -258,6 +259,188 @@ def _matmul_fetch(ptex: PackedTexture, li, ld, uv):
             idx[..., k : k + 1] == texel_ids
         ).astype(uv.dtype)
     return jnp.dot(W, ptex.flat, preferred_element_type=uv.dtype)
+
+
+@struct.dataclass
+class MaterialBank:
+    """All materials' (stack, mip-pyramid) texel tables in ONE flat array,
+    per-lane indexed by (stack, material id) — the TPU equivalent of the
+    reference's per-pixel material POINTER fetch (src/texture.h:53-141).
+
+    The r3 path evaluated every material's stack per lane and
+    masked-selected (O(num_materials x lanes), VERDICT r3 weak 2); the
+    bank gathers one int table row per lane instead, so per-lane cost is
+    independent of the material count.
+
+    tab rows (one per slot = stack*M + material, padded to Lmax levels):
+      [num_levels, w_0..w_{Lmax-1}, h_0.., off_0..]  (1 + 3*Lmax,) int32
+    with ABSOLUTE texel offsets into `flat`.  Constant textures are
+    stored as single-level 1x1 tables (their bilinear taps all land on
+    the one texel), which removes every per-material branch."""
+
+    flat: jnp.ndarray  # (total_texels, C)
+    tab: jnp.ndarray  # (num_slots, 1 + 3*Lmax) int32
+    Lmax: int = struct.field(pytree_node=False)
+    pow2: bool = struct.field(pytree_node=False)
+
+    @property
+    def channels(self):
+        return self.flat.shape[-1]
+
+
+def _bank_entry(ptex: Optional[PackedTexture], channels, Lmax, base):
+    """(flat_padded, widths, heights, offsets, nl) for one slot."""
+    if ptex is None:
+        flat = jnp.zeros((1, channels))
+        w, h, off, nl = [1], [1], [0], 1
+    elif ptex.is_constant:
+        flat = ptex.flat
+        w, h, off, nl = [1], [1], [0], 1
+    else:
+        flat = ptex.flat
+        w = list(ptex.widths)
+        h = list(ptex.heights)
+        off = list(ptex.offsets)
+        nl = ptex.num_levels
+    if flat.shape[-1] < channels:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros(flat.shape[:-1]
+                             + (channels - flat.shape[-1],), flat.dtype)],
+            axis=-1,
+        )
+    pad = Lmax - len(w)
+    w = w + [1] * pad
+    h = h + [1] * pad
+    off = [base + o for o in off] + [base] * pad
+    row = np.asarray([nl] + w + h + off, np.int32)
+    return flat, row, flat.shape[0]
+
+
+def pack_material_bank(stacks) -> MaterialBank:
+    """stacks: list of per-stack lists of Optional[PackedTexture] (all
+    materials), e.g. [diffuse_list, specular_list, roughness_list,
+    normal_list].  Channel counts pad to the max (roughness' value lands
+    in channel 0)."""
+    channels = 1
+    Lmax = 1
+    for stack in stacks:
+        for p in stack:
+            if p is None:
+                continue
+            channels = max(channels, p.channels)
+            if not p.is_constant:
+                Lmax = max(Lmax, p.num_levels)
+    flats, rows = [], []
+    base = 0
+    for stack in stacks:
+        for p in stack:
+            flat, row, n = _bank_entry(p, channels, Lmax, base)
+            flats.append(flat)
+            rows.append(row)
+            base += n
+    tab = jnp.asarray(np.stack(rows), jnp.int32)
+    all_sizes = [
+        int(x) for r in rows
+        for x in r[1 : 1 + 2 * Lmax]
+    ]
+    pow2 = all(s > 0 and (s & (s - 1)) == 0 for s in all_sizes)
+    return MaterialBank(
+        flat=jnp.concatenate(flats, axis=0),
+        tab=tab,
+        Lmax=Lmax,
+        pow2=pow2,
+    )
+
+
+def _bank_level_select(tab_row, Lmax, li):
+    """(w, h, off) at per-lane integer level li via one-hot selects
+    (Lmax <= 8 static — cheaper than 3 more per-lane gathers)."""
+    w = jnp.zeros(li.shape, jnp.int32)
+    h = jnp.zeros(li.shape, jnp.int32)
+    off = jnp.zeros(li.shape, jnp.int32)
+    for l in range(Lmax):
+        m = li == l
+        w = jnp.where(m, tab_row[..., 1 + l], w)
+        h = jnp.where(m, tab_row[..., 1 + Lmax + l], h)
+        off = jnp.where(m, tab_row[..., 1 + 2 * Lmax + l], off)
+    return w, h, off
+
+
+def _bank_bilinear_weights(bank: MaterialBank, tab_row, li, uv):
+    """Flat indices + weights of the 4 bilinear taps at per-lane level."""
+    wi, hi_, off = _bank_level_select(tab_row, bank.Lmax, li)
+    wf = wi.astype(uv.dtype)
+    hf = hi_.astype(uv.dtype)
+    x = uv[..., 0] * wf - 0.5
+    y = uv[..., 1] * hf - 0.5
+    xf = jnp.floor(x)
+    yf = jnp.floor(y)
+    u = x - xf
+    v = y - yf
+    xf = xf.astype(jnp.int32)
+    yf = yf.astype(jnp.int32)
+    xfi = _wrap_mod(xf, wi, bank.pow2)
+    yfi = _wrap_mod(yf, hi_, bank.pow2)
+    xci = _wrap_mod(xf + 1, wi, bank.pow2)
+    yci = _wrap_mod(yf + 1, hi_, bank.pow2)
+    idx = jnp.stack(
+        [
+            off + yfi * wi + xfi,
+            off + yci * wi + xfi,
+            off + yfi * wi + xci,
+            off + yci * wi + xci,
+        ],
+        axis=-1,
+    )
+    w = jnp.stack(
+        [(1 - u) * (1 - v), (1 - u) * v, u * (1 - v), u * v], axis=-1
+    )
+    return idx, w
+
+
+def bank_eval(bank: MaterialBank, tab_row, uv, du_dxy, dv_dxy):
+    """Trilinear fetch from the bank for pre-gathered table rows.
+
+    tab_row: (..., 1+3*Lmax) int32 — the caller gathers ONE wide row per
+    lane (fetch_local_material fuses all four stacks' rows into a single
+    gather); uv/du/dv are already uv_scale-scaled."""
+    nl = tab_row[..., 0]
+    w0 = tab_row[..., 1].astype(uv.dtype)
+    h0 = tab_row[..., 1 + bank.Lmax].astype(uv.dtype)
+    footprint = jnp.maximum(
+        jnp.sqrt(jnp.maximum(
+            jnp.sum(du_dxy * du_dxy, axis=-1), 1e-20)) * w0,
+        jnp.sqrt(jnp.maximum(
+            jnp.sum(dv_dxy * dv_dxy, axis=-1), 1e-20)) * h0,
+    )
+    level = jnp.log2(jnp.maximum(footprint, 1e-8))
+    nlf = nl.astype(uv.dtype)
+    level = jnp.clip(level, 0.0, jnp.maximum(nlf - 1 - 1e-6, 0.0))
+    li = jnp.floor(level).astype(jnp.int32)
+    ld = (level - li.astype(level.dtype))[..., None]
+    li1 = jnp.minimum(li + 1, nl - 1)
+    idx0, wt0 = _bank_bilinear_weights(bank, tab_row, li, uv)
+    idx1, wt1 = _bank_bilinear_weights(bank, tab_row, li1, uv)
+    idx = jnp.concatenate([idx0, idx1], axis=-1)  # (..., 8)
+    wt = jnp.concatenate([wt0 * (1 - ld), wt1 * ld], axis=-1)
+    T = bank.flat.shape[0]
+    import math as _math
+
+    lanes = int(_math.prod(uv.shape[:-1])) if uv.ndim > 1 else 1
+    if T <= MATMUL_FETCH_MAX_TEXELS and lanes * T <= MATMUL_FETCH_MAX_ELEMS:
+        # One-hot matmul fetch: the MXU fetch + its transpose (the texel
+        # gradient scatter) beat per-lane gathers for small banks.
+        texel_ids = jnp.arange(T, dtype=jnp.int32)
+        W = jnp.zeros(uv.shape[:-1] + (T,), uv.dtype)
+        for k in range(8):
+            W = W + wt[..., k : k + 1] * (
+                idx[..., k : k + 1] == texel_ids
+            ).astype(uv.dtype)
+        return jnp.dot(W, bank.flat, preferred_element_type=uv.dtype)
+    out = 0.0
+    for k in range(8):
+        out = out + wt[..., k : k + 1] * bank.flat[idx[..., k]]
+    return out
 
 
 def texture_eval(ptex: PackedTexture, uv, du_dxy, dv_dxy):
