@@ -1,0 +1,30 @@
+"""Multi-host execution (VERDICT r3 ask 4, SURVEY §2.3 item 9).
+
+Spawns tools/multihost_smoke.py: 2 jax.distributed processes x 4 virtual
+CPU devices running the pixel-sharded EDGE-SAMPLED gradient step over one
+8-device process-spanning mesh, asserting loss/gradient equality with a
+single-process 8-device run.  Subprocess-based because jax.distributed
+must own backend initialization (the suite's in-process jax is already
+configured).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_distributed_matches_single_process():
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "multihost_smoke.py")],
+        capture_output=True, text=True, timeout=2400, cwd=REPO,
+    )
+    assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-3000:]
+    result = json.loads(p.stdout.strip().splitlines()[-1])
+    assert result["multihost_ok"], result
+    assert result["processes"] == 2
+    assert result["global_devices"] == 8
+    assert result["edge_sampling"] is True
+    assert result["max_rel_diff"] < 1e-5

@@ -167,9 +167,9 @@ def test_teapot_scale_shadow_gradient_matches_fd():
         lambda seed: jax.grad(wloss)(jnp.asarray(0.0), opts, seed)))
     fdf = jax.jit(jax.vmap(lambda tx, seed: wloss(tx, opts_fd, seed),
                            in_axes=(None, 0)))
-    gs = np.asarray(gfn(jnp.arange(24, dtype=jnp.uint32)))
+    gs = np.asarray(gfn(jnp.arange(48, dtype=jnp.uint32)))
     eps = 8.0
-    sfd = jnp.arange(12, dtype=jnp.uint32)
+    sfd = jnp.arange(24, dtype=jnp.uint32)
     fds = (np.asarray(fdf(jnp.asarray(eps), sfd))
            - np.asarray(fdf(jnp.asarray(-eps), sfd))) / (2 * eps)
     assert np.isfinite(gs).all()
@@ -178,8 +178,10 @@ def test_teapot_scale_shadow_gradient_matches_fd():
     # The FD must carry real signal (the shadow darkening is visible).
     assert abs(fds.mean()) > 3 * fd_se, (fds.mean(), fd_se)
     diff = abs(gs.mean() - fds.mean())
-    tol = max(0.5 * abs(fds.mean()),
-              2.5 * float(np.hypot(g_se, fd_se)))
+    # r4 (VERDICT ask 9): seeds doubled (24/12 -> 48/24, still one
+    # vmapped call each), bands cut 0.5->0.35 and 2.5 -> 2 sigma.
+    tol = max(0.35 * abs(fds.mean()),
+              2.0 * float(np.hypot(g_se, fd_se)))
     # Structural failures measure ratio ~0.01-0.2 here and fail hard;
     # MC noise at this budget stays well inside.
     assert diff <= tol, (gs.mean(), fds.mean(), g_se, fd_se)
@@ -213,6 +215,53 @@ def test_bunny_box_gi_forward_and_gradients():
     g = jax.jit(jax.grad(loss))(bunny.vertices)
     assert jnp.isfinite(g).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_bunny_box_gi_gradient_matches_fd():
+    """Quantitative real-asset GI gradient (VERDICT r3 ask 8): bunny-box
+    at max_bounces=2, FD vs jax.grad(rt.render) for a bunny x-translation
+    with seed-vmapped batches — the configuration where the per-bounce
+    secondary pass and the cluster proposal interact at real-asset scale
+    (reference tests/test_bunny_box.py).  Budget ~2x the toy indirect
+    test's (tests/test_global_illumination.py)."""
+    scene = rt.load_mitsuba(os.path.join(_SCENES, "bunny_box.xml"))
+    scene = _shrink(scene, (16, 16))
+    bunny = scene.shapes[6]
+    W = (0.25 + jnp.linspace(0., 1., 16)[None, :, None]
+         + 0.5 * jnp.linspace(0., 1., 16)[:, None, None])
+
+    def scene_at(tx):
+        b = bunny.replace(
+            vertices=bunny.vertices
+            + jnp.stack([tx, jnp.asarray(0.0), jnp.asarray(0.0)]))
+        return scene.replace(shapes=scene.shapes[:6] + (b,))
+
+    opts = rt.RenderOptions(num_samples=4, max_bounces=2)
+    opts_fd = rt.RenderOptions(num_samples=8, max_bounces=2,
+                               use_primary_edge_sampling=False,
+                               use_secondary_edge_sampling=False)
+
+    def wloss(tx, options, seed):
+        return jnp.sum(W * rt.render(scene_at(tx), options, seed=seed))
+
+    gfn = jax.jit(jax.vmap(
+        lambda seed: jax.grad(wloss)(jnp.asarray(0.0), opts, seed)))
+    fdf = jax.jit(jax.vmap(lambda tx, seed: wloss(tx, opts_fd, seed),
+                           in_axes=(None, 0)))
+    gs = np.asarray(gfn(jnp.arange(16, dtype=jnp.uint32)))
+    # The bunny is ~0.8 units wide in this scene; +-0.1 moves its
+    # silhouette and GI shadow by a few pixels at 16x16.
+    eps = 0.1
+    sfd = jnp.arange(12, dtype=jnp.uint32)
+    fds = (np.asarray(fdf(jnp.asarray(eps), sfd))
+           - np.asarray(fdf(jnp.asarray(-eps), sfd))) / (2 * eps)
+    assert np.isfinite(gs).all()
+    g_se = gs.std() / np.sqrt(len(gs))
+    fd_se = fds.std() / np.sqrt(len(fds))
+    assert abs(fds.mean()) > 3 * fd_se, (fds.mean(), fd_se)
+    diff = abs(gs.mean() - fds.mean())
+    tol = max(0.4 * abs(fds.mean()), 2.5 * float(np.hypot(g_se, fd_se)))
+    assert diff <= tol, (gs.mean(), fds.mean(), g_se, fd_se)
 
 
 def test_cbox_mitsuba_obj_scene():

@@ -128,7 +128,7 @@ _fd_loss = jax.jit(jax.vmap(
 @pytest.fixture(scope="module")
 def ladder():
     """Seed-averaged gradient, no-edge gradient, and FD for all 4 params."""
-    n_g, n_fd = 48, 24
+    n_g, n_fd = 96, 48  # doubled r4 (VERDICT ask 9): one vmapped call each
     g = np.asarray(_grad4(jnp.arange(n_g, dtype=jnp.uint32))).mean(axis=0)
     g_ne = np.asarray(
         _grad4_noedge(jnp.arange(8, dtype=jnp.uint32))
@@ -157,7 +157,7 @@ def _check(ladder, k, rtol, min_fd=0.5):
 def test_shadow_blocker_gradient_matches_fd(ladder):
     """d(image)/d(blocker position): the shadow boundary + the blocker's own
     silhouette (reference test_shadow_blocker)."""
-    _check(ladder, 0, rtol=0.35)
+    _check(ladder, 0, rtol=0.25)
 
 
 def test_shadow_receiver_gradient_matches_fd(ladder):
@@ -166,19 +166,19 @@ def test_shadow_receiver_gradient_matches_fd(ladder):
     flagged as untested (reference test_shadow_receiver)."""
     # The floor fills the view, so a translation only moves its border
     # silhouettes: the FD is small but precise (tiny seed spread).
-    _check(ladder, 1, rtol=0.35, min_fd=0.05)
+    _check(ladder, 1, rtol=0.25, min_fd=0.05)
 
 
 def test_shadow_light_gradient_matches_fd(ladder):
     """d(image)/d(light position): shadow moves opposite the light; the MIS
     BSDF branch adds a light-silhouette term (reference test_shadow_light)."""
-    _check(ladder, 2, rtol=0.35)
+    _check(ladder, 2, rtol=0.25)
 
 
 def test_shadow_camera_gradient_matches_fd(ladder):
     """d(image)/d(camera position): screen-space silhouettes of every object
     move (reference test_shadow_camera)."""
-    _check(ladder, 3, rtol=0.35)
+    _check(ladder, 3, rtol=0.25)
 
 
 def test_shadow_blocker_ad_alone_is_biased(ladder):
@@ -228,7 +228,7 @@ def test_shadow_glossy_receiver_gradient_matches_fd():
     gfn = jax.jit(lambda seed: jax.grad(loss)(0.0, _OPTS, seed))
     lfn = jax.jit(lambda t, seed: loss(t, _OPTS_FD, seed))
 
-    n_g, n_fd = 96, 48  # 2x the diffuse ladder (48/24): within the 4x cap
+    n_g, n_fd = 96, 48  # same budget as the diffuse ladder (r4)
     g = np.mean([float(gfn(jnp.uint32(s))) for s in range(n_g)])
     eps = 0.1
     fd = np.mean([

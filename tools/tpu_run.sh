@@ -8,7 +8,7 @@ for i in $(seq 1 12); do
   out=$(timeout "${TPU_TIMEOUT:-1200}" python "$@" 2>&1)
   code=$?
   if [ $code -ne 0 ] && echo "$out" | grep -qE \
-      "not in the list of known backends|TPU backend error|Unable to initialize backend 'axon'|UNAVAILABLE"; then
+      "not in the list of known backends|TPU backend error|Unable to initialize backend 'axon'|UNAVAILABLE|response body closed|remote_compile.*(HTTP 50[23]|timed out)"; then
     sleep 20
     continue
   fi
