@@ -187,7 +187,11 @@ def main():
     # Rays actually traced by the edge-sampled backward: forward + AD
     # re-render + primary-edge offset-ray pairs (full paths) + the fused
     # secondary pass's edge-ray pairs (full paths per bounce).
-    n_es = options.num_edge_samples or (num_pixels * spp)
+    # (mirrors render_grad.py's scene-scaled default budget)
+    full_budget = num_pixels * spp
+    n_es = options.num_edge_samples or min(
+        full_budget, max(full_budget // 4, 16384)
+    )
     edge_rays = (
         2 * fwd_rays                                 # forward + AD re-render
         + 2 * n_es * rays_per_sample                 # primary edge pairs

@@ -83,8 +83,17 @@ def make_render(options: RenderOptions, pixel_sharding=None):
             d_radiance = jax.lax.stop_gradient(ct_img[..., roff : roff + 3])
         top, left, bottom, right = scene.camera.viewport_or_full
         n_pix = (right - left) * (bottom - top)
+        # Scene-scaled default budget (r4 sweep, PERF.md "primary-edge
+        # budget"): at the teapot bench the primary-isolated gradient std
+        # grows only 0.44 -> 0.53 from full -> full/4 while the full-
+        # estimator std is flat (AD/secondary noise dominates), and /4
+        # saves 136 ms of the edge backward.  The 16k floor keeps small
+        # images (every toy ladder test) at their full budget; the
+        # reference treats edge samples as an independent budget too
+        # (src/pathtracer.cpp:766-934).
+        full_budget = n_pix * options_b.num_samples
         num_edge_samples = options.num_edge_samples or (
-            n_pix * options_b.num_samples
+            min(full_budget, max(full_budget // 4, 16384))
         )
 
         # ONE traced function carries (a) the AD re-render whose vjp gives

@@ -42,26 +42,43 @@ def main():
     scene = teapot_scene(res=res)
     tea = scene.shapes[0]
 
+    # A pure translation of a frame-filling object needs a spatial ramp
+    # for a well-posed directional derivative (same trick as the ladder).
+    W = (0.25 + jnp.linspace(0.0, 1.0, res[1])[None, :, None]
+         + 0.5 * jnp.linspace(0.0, 1.0, res[0])[:, None, None])
+
+    # --primary-only: disable the secondary estimator so the probed std
+    # isolates the PRIMARY edge term (whose budget num_edge_samples is).
+    primary_only = "--primary-only" in sys.argv
+
     for n_es in n_list:
-        options = rt.RenderOptions(num_samples=spp, max_bounces=1,
-                                   num_edge_samples=n_es)
+        options = rt.RenderOptions(
+            num_samples=spp, max_bounces=1, num_edge_samples=n_es,
+            use_secondary_edge_sampling=not primary_only)
 
         def loss(tx, seed):
             v = tea.vertices + jnp.array([tx, 0.0, 0.0])
             s = scene.replace(
                 shapes=(tea.replace(vertices=v),) + scene.shapes[1:])
-            return jnp.sum(rt.render(s, options, seed=seed))
+            return jnp.sum(W * rt.render(s, options, seed=seed))
 
-        gfn = jax.jit(jax.grad(loss), static_argnums=())
+        # Seeds vmapped in chunks of 4: one compile, few dispatches
+        # (sequential per-seed calls were compile+tunnel-latency-bound).
+        CH = 4
+        gfn = jax.jit(jax.vmap(
+            lambda sd: jax.grad(loss)(0.0, sd)))
+        sd0 = jnp.arange(CH, dtype=jnp.uint32) * 7 + 1
+        np.asarray(gfn(sd0))  # warmup/compile, excluded from timing
         t0 = time.perf_counter()
         gs = []
-        for k in range(seeds):
-            gs.append(float(np.asarray(gfn(0.0, k * 7 + 1))))
-        dt = (time.perf_counter() - t0) / seeds
-        gs = np.asarray(gs)
+        for k in range(0, seeds, CH):
+            sd = (jnp.arange(CH, dtype=jnp.uint32) + k) * 7 + 1
+            gs.append(np.asarray(gfn(sd)))
+        dt = (time.perf_counter() - t0) / (len(gs) * CH)
+        gs = np.concatenate(gs)
         print(f"N={n_es:7d}  grad {gs.mean():+.4f}  std {gs.std():.4f}"
-              f"  se {gs.std() / np.sqrt(seeds):.4f}  {dt * 1e3:.0f} ms/eval",
-              flush=True)
+              f"  se {gs.std() / np.sqrt(len(gs)):.4f}"
+              f"  {dt * 1e3:.0f} ms/eval", flush=True)
 
 
 if __name__ == "__main__":
