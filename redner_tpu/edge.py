@@ -607,6 +607,24 @@ def _sample_primary_edges(
     # src/pathtracer.cpp:766-934).  Chunking never changes values.
     two_n = 2 * N
     pair_lanes = jnp.tile(jnp.arange(N, dtype=jnp.int32), 2)
+    if lane_sharding is not None:
+        # The Morton argsort above is a GLOBAL permutation: its gather
+        # needs an allgather, after which GSPMD loses the lane sharding
+        # and REPLICATES everything downstream — including the full path
+        # trace of the 2N offset rays, the bulk of the primary pass
+        # (measured: ~1/3 of the sharded edge backward's per-device FLOPs
+        # stayed replicated on the 8-device mesh).  Re-constrain here so
+        # only the permutation itself pays the collective.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from redner_tpu.core.shardutil import constrain_divisible
+
+        both_org = constrain_divisible(both_org, lane_sharding)
+        both_dir = constrain_divisible(both_dir, lane_sharding)
+        if isinstance(lane_sharding, NamedSharding):
+            s1 = NamedSharding(lane_sharding.mesh,
+                               PartitionSpec(lane_sharding.spec[0]))
+            pair_lanes = constrain_divisible(pair_lanes, s1)
     if two_n > EDGE_EVAL_CHUNK:
         nch = -(-two_n // EDGE_EVAL_CHUNK)
         pad = nch * EDGE_EVAL_CHUNK - two_n
