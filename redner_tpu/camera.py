@@ -196,7 +196,12 @@ def inverse_distort(params: jnp.ndarray, pos: jnp.ndarray, n_iters: int = 20):
         _, jy = jax.jvp(f, (res,), (ey,))
         residual = val - pos
         det = jx[..., 0] * jy[..., 1] - jx[..., 1] * jy[..., 0]
-        inv_det = vm.safe_div(jnp.ones_like(det), det)
+        # Sign-preserving det floor: near a fold of the distortion model
+        # (some k during optimization make it non-invertible at the
+        # screen edge) det -> 0 and a raw 1/det overflows f32 in the
+        # IFT derivative — one such lane's NaN partial then poisons the
+        # WHOLE d(image)/d(params) via NaN * 0 cotangent accumulation.
+        inv_det = vm.guarded_div(jnp.ones_like(det), det, 1e-6)
         dx = inv_det * (jy[..., 1] * residual[..., 0] - jx[..., 1] * residual[..., 1])
         dy = inv_det * (-jy[..., 0] * residual[..., 0] + jx[..., 0] * residual[..., 1])
         return res - jnp.stack([dx, dy], axis=-1)
@@ -204,7 +209,18 @@ def inverse_distort(params: jnp.ndarray, pos: jnp.ndarray, n_iters: int = 20):
     result = pos
     fixed = jax.lax.stop_gradient
     for _ in range(n_iters):
-        result = newton_step(fixed(params), fixed(result))
+        # Clamp every iterate: for non-invertible k (fold inside the
+        # screen) the Gauss-Newton runs away, the distortion polynomial
+        # overflows, and result becomes NaN — which the value path then
+        # launders through int level-casts while the GRADIENT path keeps
+        # NaN and (via NaN * 0 cotangents) poisons d(image)/d(params)
+        # for the whole frame.  The screen domain is [0,1]^2; clamping
+        # far outside it touches only lanes whose inverse does not
+        # exist, and nan_to_num catches a NaN mid-iteration.
+        result = jnp.clip(
+            jnp.nan_to_num(newton_step(fixed(params), fixed(result))),
+            -10.0, 11.0,
+        )
     result = fixed(result)
     # Differentiable refinement step (implicit function theorem).
     return newton_step(params, result)

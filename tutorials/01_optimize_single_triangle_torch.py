@@ -8,6 +8,9 @@ Outputs land in results/tutorial_01_torch/.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import torch
 

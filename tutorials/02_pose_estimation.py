@@ -3,6 +3,9 @@ from a target image (reference tutorials/02_pose_estimation.py spirit).
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

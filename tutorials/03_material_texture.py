@@ -2,6 +2,9 @@
 (reference tutorials on SVBRDF fitting)."""
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

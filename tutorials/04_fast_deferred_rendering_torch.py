@@ -7,6 +7,9 @@ Outputs land in results/tutorial_04_torch/.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import torch
 
