@@ -32,6 +32,13 @@ def imread(filename: str, gamma: float = 2.2) -> np.ndarray:
         import cv2
 
         img = cv2.imread(filename, cv2.IMREAD_UNCHANGED | cv2.IMREAD_ANYDEPTH)
+        if img is None and ext == ".exr":
+            # This container's OpenCV has no EXR support; the pure-Python
+            # codec covers uncompressed/ZIP scanline files (the reference
+            # fixtures and everything imwrite produces).
+            from redner_tpu.io.exr import read_exr
+
+            return read_exr(filename)
         if img is None:
             raise IOError(f"cannot read {filename}")
         if img.ndim == 3 and img.shape[2] >= 3:
@@ -58,7 +65,14 @@ def imwrite(img, filename: str, gamma: float = 2.2, normalize: bool = False):
         img = (img - lo) / max(hi - lo, 1e-12)
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
     ext = os.path.splitext(filename)[1].lower()
-    if ext in (".exr", ".hdr"):
+    if ext == ".exr":
+        # Pure-Python writer (float32 scanline, NONE compression): the
+        # container's OpenCV cannot write EXR at all.
+        from redner_tpu.io.exr import write_exr
+
+        write_exr(filename, img)
+        return
+    if ext == ".hdr":
         os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
         import cv2
 

@@ -98,14 +98,99 @@ def test_image_roundtrip_png(tmp_path):
 
 
 def test_image_roundtrip_exr(tmp_path):
+    """Pure-Python EXR codec (io/exr.py): this container's OpenCV has no
+    EXR support, so the codec is what makes HDR IO work at all."""
     img = np.random.default_rng(0).uniform(0.0, 4.0, (8, 8, 3)).astype(np.float32)
     path = str(tmp_path / "img.exr")
-    try:
-        rt.imwrite(img, path)
-        back = rt.imread(path)
-    except Exception:
-        pytest.skip("EXR support unavailable in OpenCV build")
-    np.testing.assert_allclose(back, img, atol=1e-3)
+    rt.imwrite(img, path)
+    back = rt.imread(path)
+    np.testing.assert_allclose(back, img, atol=1e-6)  # float32, lossless
+
+
+def test_exr_reads_reference_fixture():
+    """The reference's checkerboard.exr (HALF, uncompressed, decreasing
+    line order) must decode to the 128x128 binary checker."""
+    cb = rt.imread("/root/reference/tests/checkerboard.exr")
+    assert cb.shape == (128, 128, 3)
+    vals = np.unique(np.round(cb, 4))
+    np.testing.assert_array_equal(vals, [0.0, 1.0])
+    # 2x2 checker of 64-texel blocks: orientation-checkable structure.
+    assert cb[0, 0, 0] != cb[0, 64, 0]
+    assert cb[0, 0, 0] != cb[64, 0, 0]
+    assert cb[0, 0, 0] == cb[64, 64, 0]
+
+
+def test_exr_zip_compressed_roundtrip(tmp_path):
+    """ZIP-compressed scanline chunks (the common EXR default) decode
+    through the zlib + predictor + interleave path."""
+    import struct
+    import zlib
+
+    from redner_tpu.io import exr as exr_mod
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0.0, 2.0, (20, 9, 3)).astype(np.float32)
+    h, w, c = img.shape
+    # Write a NONE file with the library, then re-encode its chunks as
+    # ZIP (16-line blocks) to build a compressed file the reader must
+    # decode identically.
+    base = str(tmp_path / "none.exr")
+    exr_mod.write_exr(base, img)
+    names = ["B", "G", "R"]  # file order (alphabetical)
+    sel = {"R": 0, "G": 1, "B": 2}
+    chlist = b""
+    for nm in names:
+        chlist += (nm.encode() + b"\0" + struct.pack("<i", 2)
+                   + b"\0\0\0\0" + struct.pack("<ii", 1, 1))
+    chlist += b"\0"
+    box = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    header = b""
+    for nm, typ, payload in (
+        ("channels", "chlist", chlist),
+        ("compression", "compression", b"\x03"),  # ZIP
+        ("dataWindow", "box2i", box),
+        ("displayWindow", "box2i", box),
+        ("lineOrder", "lineOrder", b"\0"),
+        ("pixelAspectRatio", "float", struct.pack("<f", 1.0)),
+        ("screenWindowCenter", "v2f", struct.pack("<2f", 0.0, 0.0)),
+        ("screenWindowWidth", "float", struct.pack("<f", 1.0)),
+    ):
+        header += (nm.encode() + b"\0" + typ.encode() + b"\0"
+                   + struct.pack("<i", len(payload)) + payload)
+    header += b"\0"
+    head = exr_mod._MAGIC + struct.pack("<i", 2) + header
+    chunks = []
+    for y0 in range(0, h, 16):
+        ny = min(16, h - y0)
+        rows = b""
+        for y in range(y0, y0 + ny):
+            for nm in names:
+                rows += img[y, :, sel[nm]].astype("<f4").tobytes()
+        # inverse of the reader's _zip_undo: interleave then delta
+        d = np.frombuffer(rows, np.uint8)
+        half = (d.size + 1) // 2
+        inter = np.empty(d.size, np.uint8)
+        inter[:half] = d[0::2]
+        inter[half:] = d[1::2]
+        delta = inter.astype(np.int16)
+        delta[1:] = delta[1:] - inter.astype(np.int16)[:-1] + 128
+        chunks.append((y0, zlib.compress(delta.astype(np.uint8).tobytes())))
+    n_chunks = len(chunks)
+    table_pos = len(head)
+    pos = table_pos + 8 * n_chunks
+    offsets = []
+    for y0, payload in chunks:
+        offsets.append(pos)
+        pos += 8 + len(payload)
+    path = str(tmp_path / "zip.exr")
+    with open(path, "wb") as f:
+        f.write(head)
+        f.write(struct.pack(f"<{n_chunks}q", *offsets))
+        for y0, payload in chunks:
+            f.write(struct.pack("<ii", y0, len(payload)))
+            f.write(payload)
+    back = rt.imread(path)
+    np.testing.assert_allclose(back, img, atol=1e-6)
 
 
 def test_mitsuba_loader(tmp_path):
