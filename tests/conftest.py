@@ -32,3 +32,21 @@ _cache_dir = os.path.join(
 )
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_state():
+    """Drop in-process jit caches after each test MODULE.
+
+    A full-suite process otherwise accumulates every module's live
+    executables; near the end of the r4 suite a fresh XLA compile
+    aborted (SIGABRT inside backend_compile_and_load) in exactly that
+    high-water state while the same test compiles fine in a fresh
+    process.  Per-module clearing keeps intra-module jit reuse (the
+    fixtures that matter) and the persistent disk cache makes the
+    cross-module recompiles cheap loads instead of real compiles.
+    """
+    yield
+    jax.clear_caches()
