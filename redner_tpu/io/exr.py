@@ -86,6 +86,205 @@ def _zip_undo(raw: bytes) -> bytes:
     return out.tobytes()
 
 
+# ----------------------------------------------------------------------
+# PIZ decompression (the OpenEXR default codec): 16-bit wavelet +
+# canonical Huffman, per the public OpenEXR format spec (the
+# ImfPizCompressor / ImfHuf / ImfWav algorithms).  HALF channels only —
+# enough for the reference fixtures (tests/sunsky.exr).
+# ----------------------------------------------------------------------
+
+_HUF_ENCSIZE = (1 << 16) + 1
+
+
+class _Bits:
+    """MSB-first bit reader over a bytes object."""
+
+    def __init__(self, data: bytes):
+        self._v = int.from_bytes(data, "big")
+        self._n = len(data) * 8
+        self.pos = 0
+
+    def get(self, l: int) -> int:
+        if self.pos + l > self._n:
+            raise IOError("EXR/PIZ: bitstream exhausted")
+        out = (self._v >> (self._n - self.pos - l)) & ((1 << l) - 1)
+        self.pos += l
+        return out
+
+
+def _huf_unpack_lengths(bits: _Bits, im: int, iM: int) -> np.ndarray:
+    """6-bit-packed code lengths with zero-run codes (hufUnpackEncTable)."""
+    lengths = np.zeros(_HUF_ENCSIZE, np.int64)
+    i = im
+    while i <= iM:
+        l = bits.get(6)
+        if l == 63:  # LONG_ZEROCODE_RUN
+            # SHORTEST_LONG_RUN = 2 + LONG(63) - SHORT(59) = 6
+            i += bits.get(8) + 6
+        elif l >= 59:  # SHORT_ZEROCODE_RUN
+            i += l - 59 + 2
+        else:
+            lengths[i] = l
+            i += 1
+    if i != iM + 1:
+        raise IOError("EXR/PIZ: corrupt Huffman table")
+    return lengths
+
+
+def _huf_canonical_codes(lengths: np.ndarray) -> np.ndarray:
+    """Canonical code values from lengths (hufCanonicalCodeTable)."""
+    n = np.zeros(59, np.int64)
+    for l in lengths:
+        if l > 0:
+            n[l] += 1
+    c = 0
+    first = np.zeros(59, np.int64)
+    for i in range(58, 0, -1):
+        nc = (c + n[i]) >> 1
+        first[i] = c
+        c = nc
+    codes = np.zeros(lengths.shape[0], np.int64)
+    nxt = first.copy()
+    for sym in np.nonzero(lengths)[0]:
+        l = lengths[sym]
+        codes[sym] = nxt[l]
+        nxt[l] += 1
+    return codes
+
+
+def _huf_decode(bits: _Bits, end_bit: int, lengths, codes, rlc, n_out):
+    """Bit-serial canonical-prefix decode with the rlc run-length code."""
+    table = {}
+    for sym in np.nonzero(lengths)[0]:
+        table[(int(lengths[sym]), int(codes[sym]))] = int(sym)
+    out = np.empty(n_out, np.uint16)
+    oi = 0
+    acc = 0
+    alen = 0
+    while oi < n_out:
+        if bits.pos >= end_bit and alen == 0:
+            raise IOError("EXR/PIZ: Huffman data exhausted")
+        acc = (acc << 1) | bits.get(1)
+        alen += 1
+        if alen > 58:
+            raise IOError("EXR/PIZ: invalid Huffman stream")
+        sym = table.get((alen, acc))
+        if sym is None:
+            continue
+        acc = 0
+        alen = 0
+        if sym == rlc:
+            run = bits.get(8)
+            if oi == 0 or oi + run > n_out:
+                raise IOError("EXR/PIZ: bad RLE run")
+            out[oi : oi + run] = out[oi - 1]
+            oi += run
+        else:
+            out[oi] = sym
+            oi += 1
+    return out
+
+
+def _wdec(l, h, w14):
+    if w14:
+        ls = l.astype(np.int16).astype(np.int64)
+        hs = h.astype(np.int16).astype(np.int64)
+        a = (ls + (hs & 1) + (hs >> 1)).astype(np.int16)
+        b = (a.astype(np.int64) - hs).astype(np.int16)
+        return a.astype(np.uint16), b.astype(np.uint16)
+    m = l.astype(np.int64)
+    d = h.astype(np.int64)
+    bb = (m - (d >> 1)) & 0xFFFF
+    aa = (d + bb - 0x8000) & 0xFFFF
+    return aa.astype(np.uint16), bb.astype(np.uint16)
+
+
+def _wav2_decode(plane: np.ndarray, maxv: int) -> np.ndarray:
+    """In-place inverse 2D wavelet (ImfWav wav2Decode semantics):
+    pair offset p, block step p2 = 2p, coarse-to-fine."""
+    ny, nx = plane.shape
+    w14 = maxv < (1 << 14)
+    n = min(nx, ny)
+    p = 1
+    while p <= n:
+        p <<= 1
+    p >>= 1
+    p2 = p
+    p >>= 1
+    while p >= 1:
+        ys = np.arange(0, ny - p2 + 1, p2)
+        xs = np.arange(0, nx - p2 + 1, p2)
+        if ys.size and xs.size:
+            yy, xx = np.meshgrid(ys, xs, indexing="ij")
+            i00, i10 = _wdec(plane[yy, xx], plane[yy + p, xx], w14)
+            i01, i11 = _wdec(plane[yy, xx + p], plane[yy + p, xx + p], w14)
+            a, b = _wdec(i00, i01, w14)
+            c_, d_ = _wdec(i10, i11, w14)
+            plane[yy, xx] = a
+            plane[yy, xx + p] = b
+            plane[yy + p, xx] = c_
+            plane[yy + p, xx + p] = d_
+        if (nx & p) and ys.size:
+            # leftover column (vertical-only pairs) at the first block
+            # start past the 2D region
+            xr = xs[-1] + p2 if xs.size else 0
+            a, b = _wdec(plane[ys, xr], plane[ys + p, xr], w14)
+            plane[ys, xr] = a
+            plane[ys + p, xr] = b
+        if (ny & p) and xs.size:
+            # leftover row (horizontal-only pairs)
+            yr = ys[-1] + p2 if ys.size else 0
+            a, b = _wdec(plane[yr, xs], plane[yr, xs + p], w14)
+            plane[yr, xs] = a
+            plane[yr, xs + p] = b
+        p2 = p
+        p >>= 1
+    return plane
+
+
+def _piz_decode(raw: bytes, chans, w: int, ny: int) -> bytes:
+    """Decode one PIZ chunk -> channel-interleaved scanline bytes."""
+    for _, pt in chans:
+        if pt != _HALF:
+            raise IOError("EXR/PIZ: only HALF channels supported")
+    pos = 0
+    min_nz, max_nz = struct.unpack_from("<HH", raw, pos)
+    pos += 4
+    bitmap = np.zeros(8192, np.uint8)
+    if min_nz <= max_nz:
+        nb = max_nz - min_nz + 1
+        bitmap[min_nz : max_nz + 1] = np.frombuffer(raw, np.uint8, nb, pos)
+        pos += nb
+    bits_set = np.unpackbits(bitmap, bitorder="little")
+    lut = np.nonzero(bits_set)[0].astype(np.uint16)
+    if lut.size == 0 or lut[0] != 0:
+        lut = np.concatenate([[0], lut]).astype(np.uint16)
+    (length,) = struct.unpack_from("<i", raw, pos)
+    pos += 4
+    huf = raw[pos : pos + length]
+    im, iM, _tbl, nbits, _room = struct.unpack_from("<5i", huf, 0)
+    bits = _Bits(huf[20:])
+    lengths = _huf_unpack_lengths(bits, im, iM)
+    codes = _huf_canonical_codes(lengths)
+    # data starts byte-aligned after the packed table
+    bits.pos = (bits.pos + 7) & ~7
+    end_bit = bits.pos + nbits
+    n_out = len(chans) * w * ny
+    out = _huf_decode(bits, end_bit, lengths, codes, iM, n_out)
+    res = np.empty((ny, len(chans), w), np.uint16)
+    o = 0
+    # The wavelet ran over LUT-COMPACTED values on encode, so its 14-bit
+    # fast path is selected by the compact-domain max (lut size), not
+    # the raw half-bits max (reverseLutFromBitmap semantics).
+    maxv = lut.size - 1
+    for ci in range(len(chans)):
+        plane = out[o : o + w * ny].reshape(ny, w).copy()
+        o += w * ny
+        _wav2_decode(plane, maxv)
+        res[:, ci, :] = lut[np.minimum(plane, lut.size - 1)]
+    return res.tobytes()
+
+
 def read_exr(path: str) -> np.ndarray:
     """Read a scanline EXR -> float32 (H, W, C)."""
     with open(path, "rb") as f:
@@ -132,10 +331,12 @@ def read_exr(path: str) -> np.ndarray:
         lines_per_chunk = 1
     elif comp == 3:  # ZIP
         lines_per_chunk = 16
+    elif comp == 4:  # PIZ
+        lines_per_chunk = 32
     else:
         raise IOError(
             f"{path}: compression {comp} not supported by the pure-Python "
-            f"reader (NONE/ZIPS/ZIP only)")
+            f"reader (NONE/ZIPS/ZIP/PIZ only)")
 
     n_chunks = -(-h // lines_per_chunk)
     offsets = struct.unpack(f"<{n_chunks}q", data[off:off + 8 * n_chunks])
@@ -152,6 +353,8 @@ def read_exr(path: str) -> np.ndarray:
             if len(raw) != expect:
                 raise IOError(f"{path}: bad chunk size")
             raw = _zip_undo(raw)
+        elif comp == 4:
+            raw = _piz_decode(raw, chans, w, ny)
         for li in range(ny):
             row = y - y0 + li
             o = li * bytes_per_line

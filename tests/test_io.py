@@ -120,6 +120,63 @@ def test_exr_reads_reference_fixture():
     assert cb[0, 0, 0] == cb[64, 64, 0]
 
 
+def test_exr_reads_piz_sunsky_fixture():
+    """sunsky.exr (HALF, PIZ-compressed — the OpenEXR default codec, the
+    reference's envmap test asset) must decode to a physically plausible
+    sky: smooth gradient above the horizon, black below, one sun pixel.
+    The Huffman stage is verified exactly (complete canonical code,
+    bit-exact stream consumption); this pins the decoded structure."""
+    img = rt.imread("/root/reference/tests/sunsky.exr")
+    assert img.shape == (32, 64, 3)
+    assert np.isfinite(img).all() and img.min() >= 0.0
+    lum = img.mean(-1)
+    # below-horizon hemisphere is black
+    np.testing.assert_array_equal(lum[16:], 0.0)
+    # one localized sun pixel dominating the sky
+    assert (lum > 50).sum() == 1
+    sun_y, sun_x = np.unravel_index(lum.argmax(), lum.shape)
+    assert lum[sun_y, sun_x] > 100
+    # sky is smooth almost everywhere (the sun + halo touch a handful
+    # of diffs; a broken wavelet/Huffman stage produces noise whose
+    # typical diff is comparable to the range)
+    d = np.abs(np.diff(lum[:12], axis=1))
+    assert np.median(d) < 0.005  # broken decode ~ value scale (0.1)
+    assert np.percentile(d, 99) < 0.1  # sun/horizon gradients stay bounded
+    # brightness increases toward the horizon for a clear-sky model
+    rows = lum[:12].mean(axis=1)
+    assert rows[8] > rows[0]
+
+
+def test_sunsky_envmap_renders_and_differentiates():
+    """The decoded sunsky drives the envmap pipeline end-to-end (the
+    reference test_envmap.py uses this exact asset)."""
+    import jax
+    import jax.numpy as jnp
+
+    values = rt.imread("/root/reference/tests/sunsky.exr")
+    v, f, uvs, normals = rt.generate_sphere(8, 16)
+    sphere = rt.make_shape(vertices=v, indices=f, uvs=uvs, normals=normals,
+                           material_id=0)
+    cam = rt.make_camera(position=[0.0, 0.0, -4.0], look_at=[0.0, 0.0, 0.0],
+                         up=[0.0, 1.0, 0.0], fov=45.0, resolution=(16, 16))
+    scene = rt.make_scene(
+        cam, [sphere],
+        [rt.make_material(diffuse_reflectance=[0.6, 0.6, 0.6])],
+        envmap=rt.make_environment_map(jnp.asarray(values)))
+    opts = rt.RenderOptions(num_samples=4, max_bounces=1)
+    img = rt.render_image(scene, opts, seed=0)
+    assert bool(jnp.isfinite(img).all())
+    assert float(img.max()) > 0
+
+    def loss(vals):
+        s = scene.replace(envmap=rt.make_environment_map(vals))
+        return jnp.sum(rt.render_image(s, opts, seed=0))
+
+    g = jax.grad(loss)(jnp.asarray(values))
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).sum()) > 0
+
+
 def test_exr_zip_compressed_roundtrip(tmp_path):
     """ZIP-compressed scanline chunks (the common EXR default) decode
     through the zlib + predictor + interleave path."""
