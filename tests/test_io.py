@@ -147,6 +147,48 @@ def test_exr_reads_piz_sunsky_fixture():
     assert rows[8] > rows[0]
 
 
+def test_checkerboard_fixture_as_texture():
+    """The reference's checkerboard.exr drives the textured-material path
+    (reference tests/test_texture.py uses this exact asset): the diffuse
+    AOV reproduces the checker and texel gradients flow."""
+    import jax
+    import jax.numpy as jnp
+
+    tex = rt.imread("/root/reference/tests/checkerboard.exr")
+    quad = rt.make_shape(
+        vertices=[[-1.0, -1.0, 0.0], [1.0, -1.0, 0.0],
+                  [-1.0, 1.0, 0.0], [1.0, 1.0, 0.0]],
+        indices=[[0, 2, 1], [1, 2, 3]],
+        uvs=[[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        material_id=0)
+    cam = rt.make_camera(position=[0.0, 0.0, -2.0], look_at=[0.0, 0.0, 0.0],
+                         up=[0.0, 1.0, 0.0], fov=60.0, resolution=(32, 32))
+    scene = rt.make_scene(
+        cam, [quad],
+        [rt.make_material(diffuse_reflectance=jnp.asarray(tex))])
+    opts = rt.RenderOptions(
+        num_samples=1, max_bounces=0,
+        channels=(rt.Channels.diffuse_reflectance,),
+        sample_pixel_center=True)
+    img = np.asarray(rt.render_image(scene, opts, seed=0))
+    # 2x2 checker: opposite quadrants match, adjacent differ
+    q = [img[8, 8], img[8, 24], img[24, 8], img[24, 24]]
+    assert not np.allclose(q[0], q[1])
+    assert not np.allclose(q[0], q[2])
+    np.testing.assert_allclose(q[0], q[3], atol=1e-3)
+
+    def loss(t):
+        s = scene.replace(materials=(
+            scene.materials[0].replace(
+                diffuse_reflectance=scene.materials[0]
+                .diffuse_reflectance.replace(texels=t)),))
+        return jnp.sum(rt.render_image(s, opts, seed=0))
+
+    g = jax.grad(loss)(jnp.asarray(tex))
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).sum()) > 0
+
+
 def test_sunsky_envmap_renders_and_differentiates():
     """The decoded sunsky drives the envmap pipeline end-to-end (the
     reference test_envmap.py uses this exact asset)."""
