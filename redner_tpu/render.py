@@ -573,6 +573,8 @@ def trace_radiance(
     secondary_edge_table=None,
     secondary_lane_sharding=None,
     precise_primary: bool = False,
+    isect_replay=None,
+    collect_isects: bool = False,
 ):
     """Full-path radiance estimate for arbitrary primary rays -> (n, 3).
 
@@ -594,6 +596,15 @@ def trace_radiance(
     second time (the reference samples secondary edges inside its backward
     bounce loop for the same reason, src/pathtracer.cpp:431-707).  The
     return value becomes (radiance, surrogate_scalar).
+
+    isect_replay / collect_isects: intersection-residual replay.  The
+    custom_vjp backward re-renders with the SAME RNG stream (correlated
+    replay), so every sweep's result is bitwise re-derivable — the
+    forward collects per-bounce (blocked, bsdf Intersection) records
+    (collect_isects=True appends `records` to the return tuple) and the
+    backward consumes them (isect_replay = that tuple) instead of
+    re-running the occluded/intersect sweeps.  Records are stop-gradient
+    discrete data, exactly like live sweep outputs.
     """
     n = ray.org.shape[0]
     dtype = ray.org.dtype
@@ -641,6 +652,7 @@ def trace_radiance(
     min_rough = jnp.zeros((n,), dtype)
     incoming_ray = ray
     incoming_diff = ray_diff
+    records = [] if collect_isects else None
     for bounce in range(options.max_bounces):
         light_dim = dim.next(sampler_mod.LIGHT_DIMS)
         bsdf_dim = dim.next(sampler_mod.BSDF_DIMS)
@@ -659,6 +671,7 @@ def trace_radiance(
             tmax=jnp.full((n,), jnp.inf, dtype),
         )
 
+        replay_b = isect_replay[bounce] if isect_replay is not None else None
         if fs.num_lights > 0:
             light_u = sampler_mod.draw(
                 options.sampler_type, seed, lane_ids, sample_id, light_dim, 4
@@ -671,11 +684,13 @@ def trace_radiance(
             # |t| ~ 1e-2..1e-1 (absolute noise of the bf16 products),
             # well past the 1e-3 tmin — measured: 28% of toy-scene pixels
             # off by >5%, forward image 34% darker from phantom
-            # self-shadowing.  precise=True (Precision.HIGHEST) is a
-            # CORRECTNESS requirement here, not a tuning choice; camera
-            # primaries stay on the fast path (origins off-geometry,
-            # winners re-derived in exact f32).
-            if options.split_shadow_sweep or SPLIT_SHADOW_SWEEP:
+            # self-shadowing.  precise=True is a CORRECTNESS requirement
+            # here, not a tuning choice; camera primaries stay on the
+            # fast path (origins off-geometry, winners re-derived in
+            # exact f32).
+            if replay_b is not None:
+                blocked, bsdf_isect = replay_b[0], Intersection(*replay_b[1])
+            elif options.split_shadow_sweep or SPLIT_SHADOW_SWEEP:
                 # Shadow rays through the anyhit early-exit kernel,
                 # continuation rays through closest-hit.
                 blocked = accel.occluded(fs, sray, presorted=coherent,
@@ -711,9 +726,18 @@ def trace_radiance(
             nee_dir = ls["shadow_ray"].dir
         else:
             nee = jnp.zeros((n, 3), dtype)
-            bsdf_isect = accel.intersect(fs, bsdf_ray, presorted=coherent,
-                                         precise=True)
+            if replay_b is not None:
+                blocked, bsdf_isect = replay_b[0], Intersection(*replay_b[1])
+            else:
+                blocked = jnp.zeros((n,), bool)  # no lights: record dummy
+                bsdf_isect = accel.intersect(fs, bsdf_ray, presorted=coherent,
+                                             precise=True)
             nee_dir = None
+        if records is not None:
+            records.append((
+                blocked,
+                (bsdf_isect.tri_id, bsdf_isect.shape_id, bsdf_isect.t),
+            ))
         bsdf_sp, bsdf_diff = _surface_point_at(fs, bsdf_isect, bsdf_ray, wo_diff)
 
         scatter, scatter_bsdf = _scatter_contribution(
@@ -746,12 +770,16 @@ def trace_radiance(
         ]
         lm = fetch_local_material(fs, sp, mid)
     if secondary_d_pixel is not None:
-        return radiance, surrogate
-    if return_emission:
-        return radiance, primary_emission
-    if return_primary_valid:
-        return radiance, primary_valid
-    return radiance
+        out = (radiance, surrogate)
+    elif return_emission:
+        out = (radiance, primary_emission)
+    elif return_primary_valid:
+        out = (radiance, primary_valid)
+    else:
+        out = radiance
+    if collect_isects:
+        return out, tuple(records)
+    return out
 
 
 def _secondary_edge_term(fs, options, seed, lane_ids, sample_id, bounce,
@@ -864,6 +892,8 @@ def render_sample(
     secondary_lane_sharding=None,
     precise_primary: bool = False,
     rays_coherent: bool = False,
+    isect_replay=None,
+    collect_isects: bool = False,
 ):
     """Trace one sample per pixel; returns (num_pixels, C) contribution
     (unweighted — caller averages over samples), lane k = pixel
@@ -918,12 +948,15 @@ def render_sample(
     # Swizzled primary rays are already tile-coherent: skip the engines'
     # Morton coherence sort (the edge passes pre-sort their samples by
     # screen Morton and pass rays_coherent=True for the same skip).
-    isect = accel.intersect(
-        fs, ray,
-        presorted=(primary_rays is None and pixel_order is not None)
-        or rays_coherent,
-        precise=precise_primary,
-    )
+    if isect_replay is not None:
+        isect = Intersection(*isect_replay[0])
+    else:
+        isect = accel.intersect(
+            fs, ray,
+            presorted=(primary_rays is None and pixel_order is not None)
+            or rays_coherent,
+            precise=precise_primary,
+        )
     sp, aov_diff = _surface_point_at(fs, isect, ray, ray_diff)
     mid = fs.face_material_id[jnp.clip(isect.tri_id, 0, fs.num_triangles - 1)]
     lm = fetch_local_material(fs, sp, mid)
@@ -936,6 +969,7 @@ def render_sample(
         skip_radiance=want_radiance,
     )
     surr = jnp.zeros((), dtype)
+    bounce_records = ()
     if want_radiance:
         radiance = trace_radiance(
             fs, options, seed, pixel_ids, sample_id, ray, ray_diff,
@@ -945,14 +979,21 @@ def render_sample(
             secondary_d_pixel=secondary_d_pixel,
             secondary_edge_table=secondary_edge_table,
             secondary_lane_sharding=secondary_lane_sharding,
+            isect_replay=(isect_replay[1] if isect_replay is not None
+                          else None),
+            collect_isects=collect_isects,
         )
+        if collect_isects:
+            radiance, bounce_records = radiance
         if secondary_d_pixel is not None:
             radiance, surr = radiance
         roff = ci.radiance_dimension
         img = img.at[:, roff : roff + 3].add(radiance)
-    if secondary_d_pixel is not None:
-        return img, surr
-    return img
+    out = (img, surr) if secondary_d_pixel is not None else img
+    if collect_isects:
+        records = ((isect.tri_id, isect.shape_id, isect.t), bounce_records)
+        return out, records
+    return out
 
 
 def render_image(scene: Scene, options: RenderOptions, seed=0,
@@ -976,7 +1017,8 @@ def _render_image_jitted(scene, options, seed):
 
 
 def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
-                       pixel_sharding=None, secondary_d_radiance=None):
+                       pixel_sharding=None, secondary_d_radiance=None,
+                       isect_replay=None, collect_isects: bool = False):
     """Differentiable forward render -> (vh, vw, C) image.
 
     Continuous gradients flow through JAX AD; visibility gradients are added
@@ -1051,29 +1093,41 @@ def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
         real = (jnp.arange(n_pad) < n)[:, None]
         d_lane = jnp.tile(jnp.where(real, d_flat[order], 0.0), (K, 1))
 
-    def body(acc, pass_id):
+    def body(acc, xs):
+        pass_id, replay_x = xs
         acc_img, acc_surr = acc
         sample_vec = jnp.repeat(pass_id * K + sub, n_pad)  # (K*n_pad,)
         w = None  # ragged-tail sample mask, (K,)
+        kw = dict(isect_replay=replay_x, collect_isects=collect_isects)
         if d_lane is not None:
             w = (pass_id * K + sub < spp).astype(d_lane.dtype)
-            contrib, surr = render_sample(
+            out = render_sample(
                 fs, camera, options, seed, sample_vec, pixel_order=order_t,
                 secondary_d_pixel=d_lane * jnp.repeat(w, n_pad)[:, None],
                 secondary_edge_table=edge_table,
                 secondary_lane_sharding=pixel_sharding,
+                **kw,
             )
+            if collect_isects:
+                (contrib, surr), rec = out
+            else:
+                (contrib, surr), rec = out, None
         else:
-            contrib = render_sample(
-                fs, camera, options, seed, sample_vec, pixel_order=order_t
+            out = render_sample(
+                fs, camera, options, seed, sample_vec, pixel_order=order_t,
+                **kw,
             )
+            if collect_isects:
+                contrib, rec = out
+            else:
+                contrib, rec = out, None
             surr = jnp.zeros((), contrib.dtype)
         if w is None:
             w = (pass_id * K + sub < spp).astype(contrib.dtype)
         contrib = jnp.einsum(
             "knc,k->nc", contrib.reshape(K, n_pad, ci.num_total_dimensions), w
         )
-        return (acc_img + constrain(contrib), acc_surr + surr), None
+        return (acc_img + constrain(contrib), acc_surr + surr), rec
 
     if options.remat:
         # prevent_cse=False: inside lax.scan the loop boundary already
@@ -1086,13 +1140,15 @@ def _render_image_impl(scene: Scene, options: RenderOptions, seed=0,
         ),
         jnp.zeros((), fs.vertices.dtype),
     )
-    (img, surr_total), _ = jax.lax.scan(
-        body, init, jnp.arange(npass, dtype=jnp.uint32)
-    )
+    xs = (jnp.arange(npass, dtype=jnp.uint32), isect_replay)
+    (img, surr_total), rec_stack = jax.lax.scan(body, init, xs)
     img = img[:n] / options.num_samples
     # Unswizzle: lane k holds pixel order[k].
     img = img[jnp.asarray(inverse_np)]
     img = img.reshape(vh, vw, ci.num_total_dimensions)
+    out = img
     if secondary_d_radiance is not None:
-        return img, surr_total / options.num_samples
-    return img
+        out = (img, surr_total / options.num_samples)
+    if collect_isects:
+        return out, rec_stack
+    return out

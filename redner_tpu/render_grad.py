@@ -57,11 +57,6 @@ def make_render(options: RenderOptions, pixel_sharding=None):
         return render_image(scene, options, seed=seed,
                             pixel_sharding=pixel_sharding)
 
-    def _fwd(scene, seed):
-        img = render_image(scene, options, seed=seed,
-                           pixel_sharding=pixel_sharding)
-        return img, (scene, seed)
-
     # Backward pass uses its own sample count (reference num_samples[1],
     # pyredner/render_pytorch.py:657-663).
     if options.num_samples_backward != options.num_samples:
@@ -69,8 +64,30 @@ def make_render(options: RenderOptions, pixel_sharding=None):
     else:
         options_b = options
 
+    # Intersection-residual replay: with correlated RNG and identical
+    # forward/backward configs, the backward re-render issues bitwise-
+    # identical rays, so the forward's sweep results can be saved
+    # (O(lanes x bounces) ids — a few MB) and the re-render skips every
+    # occluded/intersect call.  Disabled when the backward decorrelates
+    # (seed+1), uses its own sample count, or rematerializes (whose point
+    # is minimal residuals).
+    def _replay_enabled():
+        return (_use_correlated and options_b is options
+                and not options.remat)
+
+    def _fwd(scene, seed):
+        if _replay_enabled():
+            img, records = _render_image_impl(
+                scene, options, seed, pixel_sharding, collect_isects=True)
+            records = jax.lax.stop_gradient(records)
+        else:
+            img = render_image(scene, options, seed=seed,
+                               pixel_sharding=pixel_sharding)
+            records = None
+        return img, (scene, seed, records)
+
     def _bwd(res, ct_img):
-        scene, seed = res
+        scene, seed, records = res
         seed_b = seed if _use_correlated else seed + 1
 
         ci = options.channel_info
@@ -106,10 +123,17 @@ def make_render(options: RenderOptions, pixel_sharding=None):
                 img, surr = _render_image_impl(
                     s, options_b, seed_b, pixel_sharding,
                     secondary_d_radiance=d_radiance,
+                    isect_replay=records,
                 )
             else:
-                img = render_image(s, options_b, seed=seed_b,
-                                   pixel_sharding=pixel_sharding)
+                if records is not None:
+                    img = _render_image_impl(
+                        s, options_b, seed_b, pixel_sharding,
+                        isect_replay=records,
+                    )
+                else:
+                    img = render_image(s, options_b, seed=seed_b,
+                                       pixel_sharding=pixel_sharding)
                 surr = jnp.zeros((), ct_img.dtype)
             if use_primary:
                 # Full-channel adjoint: every AOV jumps at silhouettes.
