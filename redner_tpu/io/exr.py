@@ -97,18 +97,26 @@ _HUF_ENCSIZE = (1 << 16) + 1
 
 
 class _Bits:
-    """MSB-first bit reader over a bytes object."""
+    """MSB-first bit reader over a bytes object.
+
+    Reads slice only the bytes spanning the request (O(l) per get) —
+    production-sized PIZ chunks make any whole-buffer shifting
+    quadratic."""
 
     def __init__(self, data: bytes):
-        self._v = int.from_bytes(data, "big")
+        self._d = data
         self._n = len(data) * 8
         self.pos = 0
 
     def get(self, l: int) -> int:
-        if self.pos + l > self._n:
+        end = self.pos + l
+        if end > self._n:
             raise IOError("EXR/PIZ: bitstream exhausted")
-        out = (self._v >> (self._n - self.pos - l)) & ((1 << l) - 1)
-        self.pos += l
+        first = self.pos >> 3
+        last = (end + 7) >> 3
+        chunk = int.from_bytes(self._d[first:last], "big")
+        out = (chunk >> (last * 8 - end)) & ((1 << l) - 1)
+        self.pos = end
         return out
 
 
@@ -152,37 +160,98 @@ def _huf_canonical_codes(lengths: np.ndarray) -> np.ndarray:
     return codes
 
 
+_HUF_DECBITS = 14  # fast-table width (OpenEXR ImfHuf HUF_DECBITS)
+
+
 def _huf_decode(bits: _Bits, end_bit: int, lengths, codes, rlc, n_out):
-    """Bit-serial canonical-prefix decode with the rlc run-length code."""
-    table = {}
-    for sym in np.nonzero(lengths)[0]:
-        table[(int(lengths[sym]), int(codes[sym]))] = int(sym)
-    out = np.empty(n_out, np.uint16)
-    oi = 0
+    """Table-driven canonical-prefix decode with the rlc run-length code.
+
+    Codes of length <= 14 bits (in practice all of them) resolve in one
+    lookup against a 2^14-entry (symbol, length) table built from the
+    canonical code set — the OpenEXR hufBuildDecTable/hufDecode scheme.
+    Longer codes fall back to a dict probe per length.  The bitstream is
+    consumed through a bulk-refilled accumulator (one bytes index per 8
+    bits), not per-bit reads: a production-sized envmap decodes in
+    seconds instead of hours."""
+    syms = np.nonzero(lengths)[0]
+    fast_sym = np.full(1 << _HUF_DECBITS, -1, np.int32)
+    fast_len = np.zeros(1 << _HUF_DECBITS, np.uint8)
+    slow = {}
+    for sym in syms:
+        l = int(lengths[sym])
+        c = int(codes[sym])
+        if l <= _HUF_DECBITS:
+            lo = c << (_HUF_DECBITS - l)
+            span = 1 << (_HUF_DECBITS - l)
+            fast_sym[lo : lo + span] = sym
+            fast_len[lo : lo + span] = l
+        else:
+            slow[(l, c)] = int(sym)
+    fast_sym = fast_sym.tolist()  # list indexing beats numpy scalar reads
+    fast_len = fast_len.tolist()
+    data = bits._d
+    if bits.pos & 7:
+        raise IOError("EXR/PIZ: Huffman data not byte-aligned")
+    bytei = bits.pos >> 3
+    nbytes = min(len(data), (end_bit + 7) >> 3)
+    used = bits.pos  # absolute bits consumed by decoded symbols
     acc = 0
     alen = 0
-    while oi < n_out:
-        if bits.pos >= end_bit and alen == 0:
+    out = []
+    push = out.append
+    rlc = int(rlc)
+    while len(out) < n_out:
+        # Refill: keep >= 58 lookahead bits when available (max code 58,
+        # + 8 run bits).  Zero-fill past the stream end matches the
+        # encoder's final-byte padding.
+        while alen <= 56 and bytei < nbytes:
+            acc = (acc << 8) | data[bytei]
+            bytei += 1
+            alen += 8
+        if used >= end_bit:
             raise IOError("EXR/PIZ: Huffman data exhausted")
-        acc = (acc << 1) | bits.get(1)
-        alen += 1
-        if alen > 58:
-            raise IOError("EXR/PIZ: invalid Huffman stream")
-        sym = table.get((alen, acc))
-        if sym is None:
-            continue
-        acc = 0
-        alen = 0
-        if sym == rlc:
-            run = bits.get(8)
-            if oi == 0 or oi + run > n_out:
-                raise IOError("EXR/PIZ: bad RLE run")
-            out[oi : oi + run] = out[oi - 1]
-            oi += run
+        if alen >= _HUF_DECBITS:
+            peek = (acc >> (alen - _HUF_DECBITS)) & 0x3FFF
         else:
-            out[oi] = sym
-            oi += 1
-    return out
+            peek = (acc << (_HUF_DECBITS - alen)) & 0x3FFF
+        l = fast_len[peek]
+        if l:
+            sym = fast_sym[peek]
+        else:
+            sym = -1
+            for l in range(_HUF_DECBITS + 1, 59):
+                if l <= alen:
+                    code = acc >> (alen - l)
+                else:
+                    code = acc << (l - alen)
+                sym = slow.get((l, code), -1)
+                if sym >= 0:
+                    break
+            if sym < 0:
+                raise IOError("EXR/PIZ: invalid Huffman stream")
+        if used + l > end_bit or l > alen:
+            raise IOError("EXR/PIZ: Huffman data exhausted")
+        alen -= l
+        acc &= (1 << alen) - 1
+        used += l
+        if sym == rlc:
+            while alen < 8 and bytei < nbytes:
+                acc = (acc << 8) | data[bytei]
+                bytei += 1
+                alen += 8
+            if used + 8 > end_bit or alen < 8:
+                raise IOError("EXR/PIZ: Huffman data exhausted")
+            run = (acc >> (alen - 8)) & 0xFF
+            alen -= 8
+            acc &= (1 << alen) - 1
+            used += 8
+            if not out or len(out) + run > n_out:
+                raise IOError("EXR/PIZ: bad RLE run")
+            out.extend([out[-1]] * run)
+        else:
+            push(sym)
+    bits.pos = used
+    return np.asarray(out, np.uint16)
 
 
 def _wdec(l, h, w14):

@@ -67,6 +67,7 @@ class RenderOptions:
         max_generic_texture_dimension: int = 16,
         remat: bool = False,
         split_shadow_sweep: bool = True,
+        isect_replay_max_mb: float = 256.0,
     ):
         # (forward, backward) sample counts, reference-style: an int means
         # both passes use it (pyredner num_samples tuple semantics).
@@ -103,6 +104,15 @@ class RenderOptions:
         # are numerically identical (test_split_shadow_sweep_matches_
         # batched).
         self.split_shadow_sweep = bool(split_shadow_sweep)
+        # Intersection-residual replay budget: the correlated backward can
+        # reuse the forward's sweep results instead of re-intersecting, at
+        # the cost of holding O(pixels x spp x bounces) int32 residuals in
+        # HBM across fwd->bwd.  When the estimated record footprint exceeds
+        # this cap (or the cap is <= 0), the backward falls back to live
+        # re-intersection.  256 MB covers the bench configs (~20 MB) with
+        # room while keeping 512x512x64spp x4-bounce jobs (~1 GB of
+        # records) on the live path.
+        self.isect_replay_max_mb = float(isect_replay_max_mb)
         # Immutable from here on: options key jit caches (render_grad
         # caches executables per options value), so post-hoc mutation
         # would silently reuse a stale compiled trace.
@@ -144,6 +154,7 @@ class RenderOptions:
             self.num_edge_samples,
             self.remat,
             self.split_shadow_sweep,
+            self.isect_replay_max_mb,
         )
 
     def __hash__(self):

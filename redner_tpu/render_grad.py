@@ -43,14 +43,24 @@ def get_use_correlated_random_number() -> bool:
     return _use_correlated
 
 
-def make_render(options: RenderOptions, pixel_sharding=None):
+def make_render(options: RenderOptions, pixel_sharding=None,
+                correlated=None):
     """Build the custom_vjp render function for a static RenderOptions.
 
     pixel_sharding: optional jax.sharding.Sharding splitting the per-pixel
     lane axis over a device mesh.  Applies to the forward wavefront, the AD
     re-render (with the fused secondary-edge pass), AND the primary-edge
     sample lanes — the full edge-sampled gradient path runs SPMD
-    (SURVEY §2.3 item 9)."""
+    (SURVEY §2.3 item 9).
+
+    correlated: snapshot of the correlated-replay mode this function is
+    built for (defaults to the current global).  Snapshotting at build time
+    keeps the forward's residual collection and the backward's seed choice
+    consistent even if set_use_correlated_random_number is toggled between
+    the two; `render` keys its executable cache on the flag."""
+    if correlated is None:
+        correlated = _use_correlated
+    correlated = bool(correlated)
 
     @jax.custom_vjp
     def _render(scene, seed):
@@ -69,14 +79,23 @@ def make_render(options: RenderOptions, pixel_sharding=None):
     # identical rays, so the forward's sweep results can be saved
     # (O(lanes x bounces) ids — a few MB) and the re-render skips every
     # occluded/intersect call.  Disabled when the backward decorrelates
-    # (seed+1), uses its own sample count, or rematerializes (whose point
-    # is minimal residuals).
-    def _replay_enabled():
-        return (_use_correlated and options_b is options
-                and not options.remat)
+    # (seed+1), uses its own sample count, rematerializes (whose point
+    # is minimal residuals), or when the record footprint would exceed
+    # options.isect_replay_max_mb (the records live in HBM across
+    # fwd->bwd; at 512x512x64spp x4 bounces they would hold ~1 GB).
+    def _replay_enabled(scene):
+        if not (correlated and options_b is options and not options.remat
+                and options.isect_replay_max_mb > 0):
+            return False
+        top, left, bottom, right = scene.camera.viewport_or_full
+        lanes = (right - left) * (bottom - top) * options.num_samples
+        # primary (tri_id, shape_id, t) = 12 B/lane + per bounce
+        # (blocked bool + the same triple) = 13 B/lane.
+        est_mb = lanes * (12 + 13 * options.max_bounces) / 1e6
+        return est_mb <= options.isect_replay_max_mb
 
     def _fwd(scene, seed):
-        if _replay_enabled():
+        if _replay_enabled(scene):
             img, records = _render_image_impl(
                 scene, options, seed, pixel_sharding, collect_isects=True)
             records = jax.lax.stop_gradient(records)
@@ -88,7 +107,11 @@ def make_render(options: RenderOptions, pixel_sharding=None):
 
     def _bwd(res, ct_img):
         scene, seed, records = res
-        seed_b = seed if _use_correlated else seed + 1
+        # `correlated` is the build-time snapshot: replay records were
+        # collected under it, so the seed choice must honor the same value
+        # (reading the live global here could pair decorrelated rays with
+        # the forward's intersections, silently corrupting gradients).
+        seed_b = seed if correlated else seed + 1
 
         ci = options.channel_info
         roff = ci.radiance_dimension
@@ -173,9 +196,10 @@ def render(scene, options: RenderOptions, seed=0, pixel_sharding=None):
     pixel_sharding(mesh)) to run forward AND edge-sampled gradients SPMD
     over the device mesh.
     """
-    key = (options, pixel_sharding)
+    key = (options, pixel_sharding, _use_correlated)
     fn = _render_cache.get(key)
     if fn is None:
-        fn = jax.jit(make_render(options, pixel_sharding=pixel_sharding))
+        fn = jax.jit(make_render(options, pixel_sharding=pixel_sharding,
+                                 correlated=_use_correlated))
         _render_cache[key] = fn
     return fn(scene, jnp.asarray(seed, jnp.uint32))

@@ -461,10 +461,17 @@ def _fetch_material_stack(textures, uv, du_dxy, dv_dxy, mid, channels):
 
 
 def _one_hot_table_fetch(table, mid, dtype):
-    """(M, C) value table fetched by one-hot matmul: the MXU fetch and
-    its AD transpose (the per-material gradient scatter) both run as
-    matmuls — the fast path for all-constant stacks."""
+    """(M, C) value table fetched per lane for all-constant stacks.
+
+    M <= 128: one-hot matmul — the MXU pads the contraction dim to 128,
+    so the fetch AND its AD transpose (the per-material gradient scatter)
+    run as single matmuls at a cost independent of M.  Above the MXU tile
+    (where the matmul would genuinely scale O(M) per lane) it switches to
+    a row gather, whose transpose is a segment scatter-add; only the
+    MaterialBank path is O(1)-in-materials at every M."""
     M = table.shape[0]
+    if M > 128:
+        return table.astype(dtype)[jnp.clip(mid, 0, M - 1)]
     oh = (mid[..., None] == jnp.arange(M, dtype=jnp.int32)).astype(dtype)
     return jnp.dot(oh, table.astype(dtype), preferred_element_type=dtype)
 
@@ -472,10 +479,11 @@ def _one_hot_table_fetch(table, mid, dtype):
 def fetch_local_material(fs: FlatScene, sp, material_id) -> LocalMaterial:
     """Gather per-lane material values (textures + flags) for shading.
 
-    Per-lane cost is independent of the material count: one fused int
-    table-row gather + one float row gather per lane, then constant
-    stacks fetch from their (M, C) tables and textured stacks from the
-    MaterialBank (reference per-pixel material pointer fetch,
+    Per-lane cost is independent of the material count on the textured
+    path (MaterialBank row gathers) and up to M=128 on the constant-stack
+    path (one-hot matmul inside one MXU tile; row gather past that —
+    see _one_hot_table_fetch): one fused int table-row gather + one float
+    row gather per lane (reference per-pixel material pointer fetch,
     src/texture.h:53-141)."""
     from redner_tpu.texture import bank_eval
 
