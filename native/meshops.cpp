@@ -219,29 +219,63 @@ int64_t atlas_uv(const float* positions, int64_t num_vertices,
                               std::max(maxv - minv, 1e-8f), cid};
     }
 
-    // Shelf packing: sort by height, place left-to-right in rows.
+    // Rotate each chart flat (w >= h): shelf rows pack strictly better
+    // when box heights are the smaller side (thinner rows, less per-row
+    // slack above short boxes).
+    std::vector<uint8_t> rotated(num_charts, 0);
+    for (int64_t cid = 0; cid < num_charts; ++cid) {
+        if (boxes[cid].h > boxes[cid].w) {
+            rotated[cid] = 1;
+            float bw = boxes[cid].w;
+            for (int32_t f : chart_faces[cid]) {
+                for (int c = 0; c < 3; ++c) {
+                    float u = chart_uv[6 * f + 2 * c];
+                    float v = chart_uv[6 * f + 2 * c + 1];
+                    chart_uv[6 * f + 2 * c] = v;       // 90-degree turn
+                    chart_uv[6 * f + 2 * c + 1] = bw - u;
+                }
+            }
+            std::swap(boxes[cid].w, boxes[cid].h);
+        }
+    }
+
+    // Shelf packing: sort by height, place left-to-right in rows; search
+    // a few target widths and keep the squarest / densest result.
     std::sort(boxes.begin(), boxes.end(),
               [](const ChartBox& a, const ChartBox& b) { return a.h > b.h; });
     float total_area = 0;
     for (auto& b : boxes) total_area += b.w * b.h;
-    float target_w = std::sqrt(total_area) * 1.2f + 1e-8f;
-    float pad = std::sqrt(total_area) * 0.01f;
-    float x = 0, y = 0, row_h = 0, atlas_w = 0, atlas_h = 0;
+    float pad = std::sqrt(total_area) * 0.005f;
     std::vector<float> offx(num_charts), offy(num_charts);
-    for (auto& b : boxes) {
-        if (x > 0 && x + b.w > target_w) {
-            y += row_h + pad;
-            x = 0;
-            row_h = 0;
+    float best_side = 1e30f;
+    static const float kWidthScale[] = {0.9f, 1.0f, 1.1f, 1.25f, 1.45f};
+    for (float ws : kWidthScale) {
+        float target_w = std::sqrt(total_area) * ws + 1e-8f;
+        // widest box must fit the row
+        for (auto& b : boxes) target_w = std::max(target_w, b.w);
+        float x = 0, y = 0, row_h = 0, atlas_w = 0, atlas_h = 0;
+        std::vector<float> ox(num_charts), oy(num_charts);
+        for (auto& b : boxes) {
+            if (x > 0 && x + b.w > target_w) {
+                y += row_h + pad;
+                x = 0;
+                row_h = 0;
+            }
+            ox[b.id] = x;
+            oy[b.id] = y;
+            x += b.w + pad;
+            row_h = std::max(row_h, b.h);
+            atlas_w = std::max(atlas_w, x);
+            atlas_h = std::max(atlas_h, y + b.h);
         }
-        offx[b.id] = x;
-        offy[b.id] = y;
-        x += b.w + pad;
-        row_h = std::max(row_h, b.h);
-        atlas_w = std::max(atlas_w, x);
-        atlas_h = std::max(atlas_h, y + b.h);
+        float side = std::max(atlas_w, atlas_h);
+        if (side < best_side) {
+            best_side = side;
+            offx.swap(ox);
+            offy.swap(oy);
+        }
     }
-    float norm = 1.0f / std::max(std::max(atlas_w, atlas_h), 1e-8f);
+    float norm = 1.0f / std::max(best_side, 1e-8f);
 
     for (int64_t f = 0; f < num_faces; ++f) {
         int32_t cid = chart[f];

@@ -33,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from redner_tpu import sampler as sampler_mod
 from redner_tpu.camera import (Camera, CameraType, camera_to_world, project,
@@ -803,6 +804,27 @@ def primary_edge_screen_gradient_image(
 NEE_SIGMA = 0.15
 NEE_FLOOR = 0.01
 T_CANDIDATES = 8
+# Defensive share of the cluster-level candidate draw: this fraction of
+# each draw's probability mass is distributed proportional to the plain
+# cluster edge-length weight (the base measure) regardless of the
+# directional importance, bounding 1/q for every silhouette candidate.
+# MEASURED OFF (r5): at the teapot bench (256x256, 16 seeds, TPU) the
+# per-seed gradient std went 3.19 (lam=0) -> 4.76 (0.05) -> 5.43 (0.1):
+# edge-length mass proposes far silhouettes whose RIS target still
+# underestimates their generic radiance jump, converting the narrow
+# proposal's hidden tail mass into visible spikes without taming them.
+# The effective defensive lever is the direction-space kernel floor
+# (NEE_FLOOR x horizon, swept at bench scale) — see tools/probe_tail.py.
+DEFENSIVE_LAMBDA = 0.0
+# Fold |d omega/dt| into the t-candidate RIS target (cancels the
+# near-edge 1/dist speed spike — see the comment at the use site).
+# Toggleable for A/B variance measurement only; keep True.
+T_SPEED_TARGET = True
+# Tail-analysis instrumentation (tools/probe_tail.py): when True, each
+# secondary surrogate call dumps its weight decomposition to
+# _TAIL_RECORDS via jax.debug.callback.  Never enable in production.
+_TAIL_DEBUG = False
+_TAIL_RECORDS = []
 
 
 def secondary_edge_surrogate(
@@ -945,8 +967,16 @@ def secondary_edge_surrogate(
     if shading_normal is not None:
         n_sg = sg(shading_normal)
         ck = ck * (jnp.abs(vm.dot(cdirn, n_sg[:, None, :])) + 0.1)
-    score = wclu[None, :] * ck / jnp.maximum(cdist2, radii[None, :] ** 2)
-    score_sum = jnp.sum(score, axis=-1)  # (P,)
+    imp = wclu[None, :] * ck / jnp.maximum(cdist2, radii[None, :] ** 2)
+    # Defensive mixture: (1-lambda) importance + lambda base-measure
+    # (edge-length) mass, normalized per lane — see DEFENSIVE_LAMBDA.
+    base = vm.safe_div(wclu, jnp.sum(wclu))[None, :]  # (1, C)
+    score = (
+        (1.0 - DEFENSIVE_LAMBDA)
+        * vm.safe_div(imp, jnp.sum(imp, axis=-1, keepdims=True))
+        + DEFENSIVE_LAMBDA * base
+    )
+    score_sum = jnp.sum(score, axis=-1)  # (P,) == ~1 (lanes w/ mass)
     c_cdf = jnp.cumsum(score, axis=-1)
     C = score.shape[-1]
     cm = jnp.clip(
@@ -1083,7 +1113,9 @@ def secondary_edge_surrogate(
     t_jit = u_qmc[:, 1]
     tk = (jnp.arange(Kt, dtype=dtype)[None, :] + t_jit[:, None]) / Kt  # (P,Kt)
     xk = (1.0 - tk)[..., None] * sg(av)[:, None, :] + tk[..., None] * sg(bv)[:, None, :]
-    wk_dir = vm.normalize(xk - p_sg[:, None, :])
+    wk_vec = xk - p_sg[:, None, :]
+    dist_k = jnp.maximum(vm.length(wk_vec), 1e-6)
+    wk_dir = wk_vec / dist_k[..., None]
     if nee_dir is not None or specular_dir is not None:
         wt = jnp.full((P, Kt), NEE_FLOOR, dtype)
         if nee_dir is not None:
@@ -1095,6 +1127,21 @@ def secondary_edge_surrogate(
             wt = wt + sg(specular_weight)[:, None] * jnp.exp(-d2ks / (2.0 * sig2))
     else:
         wt = jnp.ones((P, Kt), dtype)
+    # Fold the line-measure speed |d omega/dt| into the t target: the
+    # integrand carries speed(t) ~ |edge|/dist(t), which spikes without
+    # bound when the edge passes close to the shading point (every
+    # shading point sits ON a mesh next to its own triangle's edges) —
+    # the dominant heavy-tail mode of the estimator.  With the target
+    # proportional to speed, the RIS factor cancels the spike exactly:
+    # speed(pick) * t_factor = sum_k speed_k*kernel_k / (Kt*kernel_pick),
+    # bounded by the subtended arc (<= pi) times the kernel ratio.
+    if T_SPEED_TARGET:
+        dxdt_sg = sg(bv - av)
+        proj_k = (dxdt_sg[:, None, :]
+                  - wk_dir * vm.dot(wk_dir, dxdt_sg[:, None, :])[..., None])
+        speed_k = vm.length(proj_k) / dist_k
+        wt = wt * (speed_k
+                   + 1e-4 * jnp.max(speed_k, axis=-1, keepdims=True) + 1e-20)
     wt_sum = jnp.sum(wt, axis=-1)
     cdf_t = jnp.cumsum(wt, axis=-1)
     u_t = u_qmc[:, 2]
@@ -1214,6 +1261,24 @@ def secondary_edge_surrogate(
     live = active & has_cand
     w_ab = sg(jnp.where(live, w_full, 0.0))
     w_p = sg(jnp.where(live, w_p, 0.0))
+
+    if _TAIL_DEBUG:
+        # Host-side capture of the estimator decomposition for tail
+        # analysis (tools/probe_tail.py); inactive in production.
+        def _rec(**kw):
+            _TAIL_RECORDS.append({k: np.asarray(v) for k, v in kw.items()})
+
+        jax.debug.callback(
+            _rec, w=sg(jnp.where(live, w_p, 0.0)), speed=speed,
+            ris=ris_factor, tfac=t_factor,
+            dmag=jnp.sum(jnp.abs(sg(d_pixel)), -1),
+            diffmag=jnp.sum(jnp.abs(diff_full), -1),
+            kern=jnp.take_along_axis(
+                kernel if jnp.ndim(kernel) == 2
+                else jnp.broadcast_to(kernel, w_cand.shape),
+                pick[:, None], axis=-1)[:, 0],
+            dist=dist, live=live,
+        )
 
     # Two surrogate branches with the same primal direction but different
     # gradient destinations (the surrogate's value is never used).

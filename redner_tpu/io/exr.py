@@ -33,14 +33,35 @@ def _attr(name: str, typ: str, data: bytes) -> bytes:
             + struct.pack("<i", len(data)) + data)
 
 
-def write_exr(path: str, img) -> None:
-    """Write (H, W), (H, W, 1), (H, W, 3) or (H, W, 4) float32 data."""
+def _zip_do(raw: bytes) -> bytes:
+    """EXR zip pre-processing (inverse of _zip_undo): interleave-split
+    the bytes into halves, then delta-encode (+128 bias)."""
+    b = np.frombuffer(raw, np.uint8)
+    n = b.size
+    half = (n + 1) // 2
+    t = np.empty(n, np.uint8)
+    t[:half] = b[0::2]
+    t[half:] = b[1::2]
+    d = t.astype(np.int16)
+    d[1:] = d[1:] - t[:-1].astype(np.int16) + 128
+    return d.astype(np.uint8).tobytes()
+
+
+def write_exr(path: str, img, compression: str = "zip") -> None:
+    """Write (H, W), (H, W, 1), (H, W, 3) or (H, W, 4) float32 data.
+
+    compression: "zip" (16-scanline zlib chunks, the default — matches
+    what the reference's imageio/OpenEXR backend writes,
+    pyredner/image.py:1-71), "zips" (1-scanline), or "none"."""
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
     h, w, c = img.shape
     names = {1: ["Y"], 3: ["R", "G", "B"], 4: ["R", "G", "B", "A"]}[c]
     order = sorted(range(c), key=lambda i: names[i])  # file order: alpha
+    comp_id, lines_per_chunk = {
+        "none": (0, 1), "zips": (2, 1), "zip": (3, 16)
+    }[compression]
 
     chlist = b""
     for i in order:
@@ -50,7 +71,7 @@ def write_exr(path: str, img) -> None:
     box = struct.pack("<4i", 0, 0, w - 1, h - 1)
     header = (
         _attr("channels", "chlist", chlist)
-        + _attr("compression", "compression", b"\0")  # NONE
+        + _attr("compression", "compression", bytes([comp_id]))
         + _attr("dataWindow", "box2i", box)
         + _attr("displayWindow", "box2i", box)
         + _attr("lineOrder", "lineOrder", b"\0")  # increasing y
@@ -60,17 +81,34 @@ def write_exr(path: str, img) -> None:
         + b"\0"
     )
     head = _MAGIC + struct.pack("<i", 2) + header
-    table_pos = len(head)
-    data_pos = table_pos + 8 * h
-    line_bytes = 8 + c * w * 4
-    offsets = [data_pos + y * line_bytes for y in range(h)]
+    n_chunks = -(-h // lines_per_chunk)
+    chunks = []
+    for ci in range(n_chunks):
+        y0c = ci * lines_per_chunk
+        ny = min(lines_per_chunk, h - y0c)
+        raw = b"".join(
+            np.concatenate([img[y0c + li, :, i] for i in order])
+            .astype("<f4").tobytes()
+            for li in range(ny)
+        )
+        if comp_id:
+            enc = zlib.compress(_zip_do(raw))
+            if len(enc) >= len(raw):  # EXR stores whichever is smaller
+                enc = raw
+        else:
+            enc = raw
+        chunks.append(struct.pack("<ii", y0c, len(enc)) + enc)
+    data_pos = len(head) + 8 * n_chunks
+    offsets = []
+    pos = data_pos
+    for chk in chunks:
+        offsets.append(pos)
+        pos += len(chk)
     with open(path, "wb") as f:
         f.write(head)
-        f.write(struct.pack(f"<{h}q", *offsets))
-        for y in range(h):
-            row = np.concatenate([img[y, :, i] for i in order])
-            f.write(struct.pack("<ii", y, c * w * 4))
-            f.write(row.astype("<f4").tobytes())
+        f.write(struct.pack(f"<{n_chunks}q", *offsets))
+        for chk in chunks:
+            f.write(chk)
 
 
 def _zip_undo(raw: bytes) -> bytes:
@@ -417,7 +455,9 @@ def read_exr(path: str) -> np.ndarray:
         raw = data[pos + 8 : pos + 8 + nb]
         ny = min(lines_per_chunk, y1 - y + 1)
         expect = bytes_per_line * ny
-        if comp in (2, 3):
+        if comp in (2, 3) and len(raw) != expect:
+            # a chunk equal to its uncompressed size is stored raw
+            # (OpenEXR keeps whichever is smaller)
             raw = zlib.decompress(raw)
             if len(raw) != expect:
                 raise IOError(f"{path}: bad chunk size")

@@ -78,16 +78,23 @@ def test_sobol_deep_dims_stratified():
 
 
 def test_generated_sobol_entries_valid():
-    """Every generated direction-number row satisfies the Sobol conditions
-    (m_j odd, m_j < 2^j) over a distinct primitive polynomial."""
-    entries = sampler._generated_entries(43)
+    """Every generated polynomial is primitive and distinct, and every
+    direction-number row in the (screened) table satisfies the Sobol
+    conditions: m_j odd and m_j < 2^(j+1)."""
+    polys = sampler._generated_polys(43)
     seen = {(s, a) for (s, a, _) in sampler._JOE_KUO}
-    for s, a, m in entries:
+    for s, a in polys:
         assert sampler._is_primitive(s, a)
         assert (s, a) not in seen
         seen.add((s, a))
-        for j, mj in enumerate(m):
-            assert mj % 2 == 1 and mj < (1 << (j + 1)), (s, a, j, mj)
+    # table rows (incl. the chi2-screened regenerated ones): recover m_j
+    # from v_j = m_j << (31 - j)
+    V = sampler._SOBOL_V
+    for d in (1, 5, 21, 34, 100, 511, 1023):
+        for j in range(sampler._SOBOL_BITS):
+            mj = int(V[d, j]) >> (31 - j)
+            assert mj % 2 == 1 and mj < (1 << (j + 1)), (d, j, mj)
+            assert int(V[d, j]) == mj << (31 - j)
 
 
 def test_sobol_beats_hash_on_smooth_integrand():
