@@ -72,6 +72,68 @@ def measure(scene, options, mesh, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
+def weak_scaling(record_path=None):
+    """Weak scaling: fixed pixels PER DEVICE (64x64x2spp each), 1 vs 8
+    devices.  On the virtual CPU mesh wall clock is distorted (8 virtual
+    devices share 4 physical cores), so the primary statement is the
+    hardware-independent one: per-device compiled FLOPs must stay ~flat
+    as devices and total pixels grow together (replicated work — table
+    builds, light CDFs — is what would break it); the collective-byte
+    side is covered by tools/analyze_collectives.py."""
+    import redner_tpu as rt
+    from bench import teapot_scene
+    from redner_tpu.parallel.sharding import make_mesh
+
+    devices = jax.devices()
+    n = len(devices)
+    spp = 2
+    base = (64, 64)
+    scene1 = teapot_scene(res=base)
+    # Pin the primary-edge budget proportional to pixels (the default's
+    # 16k floor binds differently at the two sizes and would skew the
+    # per-device-work comparison).
+    options = rt.RenderOptions(num_samples=spp, max_bounces=1,
+                               num_edge_samples=base[0] * base[1] * spp // 4)
+    f1 = _make_grad(scene1, options, make_mesh(devices[:1]))
+    t1 = None
+    _fence(f1(scene1))
+    t0 = time.perf_counter()
+    outs = [f1(scene1) for _ in range(3)]
+    _fence(outs[-1])
+    t1 = (time.perf_counter() - t0) / 3
+    fl1 = per_device_flops(f1, scene1)
+
+    resn = (base[0] * 2, base[1] * (n // 2)) if n > 1 else base
+    scenen = teapot_scene(res=resn)
+    optionsn = rt.RenderOptions(
+        num_samples=spp, max_bounces=1,
+        num_edge_samples=resn[0] * resn[1] * spp // 4)
+    fn = _make_grad(scenen, optionsn, make_mesh(devices))
+    _fence(fn(scenen))
+    t0 = time.perf_counter()
+    outs = [fn(scenen) for _ in range(3)]
+    _fence(outs[-1])
+    tn = (time.perf_counter() - t0) / 3
+    fln = per_device_flops(fn, scenen)
+
+    result = {
+        "metric": f"WEAK scaling, fixed {base[0]}x{base[1]}x{spp}spp per "
+                  f"device: per-device compiled FLOPs at 1 dev vs {n} devs "
+                  f"({resn[0]}x{resn[1]} total)",
+        "unit": "flops ratio (1.0 = perfect weak scaling)",
+        "value": round(fln / fl1, 4) if fl1 == fl1 and fln == fln else None,
+        "proxy": True,
+        "backend": jax.default_backend(),
+        "t1_ms": round(t1 * 1e3, 1),
+        "tN_ms": round(tn * 1e3, 1),
+        "n_devices": n,
+        "note": "wall clock distorted on the shared-core virtual mesh; "
+                "FLOPs ratio is the hardware-independent statement",
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main():
     cpu_mesh = "--cpu-mesh" in sys.argv
     if cpu_mesh:
@@ -80,6 +142,28 @@ def main():
             os.environ.get("XLA_FLAGS", "")
             + " --xla_force_host_platform_device_count=8"
         ).strip()
+
+    if "--weak" in sys.argv:
+        if cpu_mesh:
+            pass  # flags already set above
+        result = weak_scaling()
+        if "--record" in sys.argv:
+            i = sys.argv.index("--record")
+            path = (sys.argv[i + 1] if len(sys.argv) > i + 1
+                    else "SCALING.json")
+            existing = []
+            if os.path.exists(path):
+                with open(path) as f:
+                    try:
+                        existing = json.load(f)
+                        if not isinstance(existing, list):
+                            existing = [existing]
+                    except json.JSONDecodeError:
+                        existing = []
+            existing.append(result)
+            with open(path, "w") as f:
+                json.dump(existing, f, indent=1)
+        return
 
     import redner_tpu as rt
     from bench import teapot_scene

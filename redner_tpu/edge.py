@@ -816,6 +816,11 @@ T_CANDIDATES = 8
 # The effective defensive lever is the direction-space kernel floor
 # (NEE_FLOOR x horizon, swept at bench scale) — see tools/probe_tail.py.
 DEFENSIVE_LAMBDA = 0.0
+# Share of the cluster draw given to the GENERIC (horizon-weighted
+# 1/dist^2 geometry) component of the normalized two-component proposal
+# mixture; the remaining share goes to the NEE/mirror-directed
+# component.  See the mixture comment in secondary_edge_surrogate.
+GENERIC_MIX_LAMBDA = 0.33
 # Fold |d omega/dt| into the t-candidate RIS target (cancels the
 # near-edge 1/dist speed spike — see the comment at the use site).
 # Toggleable for A/B variance measurement only; keep True.
@@ -954,28 +959,48 @@ def secondary_edge_surrogate(
     cdirn = cvec / cdist[..., None]
     # Angular spread of the cluster as seen from p broadens the kernels.
     broad2 = (radii[None, :] / jnp.maximum(cdist, 1e-6)) ** 2
-    ck = jnp.full(cdist.shape, NEE_FLOOR, dtype)
+    ck_dir = jnp.zeros(cdist.shape, dtype)
     if nee_dir is not None:
         d2 = 2.0 * (1.0 - vm.dot(cdirn, sg(nee_dir)[:, None, :]))
-        ck = ck + jnp.exp(-d2 / (2.0 * (NEE_SIGMA * NEE_SIGMA + broad2)))
+        ck_dir = ck_dir + jnp.exp(-d2 / (2.0 * (NEE_SIGMA * NEE_SIGMA
+                                                + broad2)))
     if specular_dir is not None:
         d2s = 2.0 * (1.0 - vm.dot(cdirn, sg(specular_dir)[:, None, :]))
         sig2s = sg(jnp.maximum(specular_sigma, 1e-3) ** 2)[:, None]
-        ck = ck + sg(specular_weight)[:, None] * jnp.exp(
+        ck_dir = ck_dir + sg(specular_weight)[:, None] * jnp.exp(
             -d2s / (2.0 * (sig2s + broad2))
         )
+    horiz = 1.0
     if shading_normal is not None:
         n_sg = sg(shading_normal)
-        ck = ck * (jnp.abs(vm.dot(cdirn, n_sg[:, None, :])) + 0.1)
-    imp = wclu[None, :] * ck / jnp.maximum(cdist2, radii[None, :] ** 2)
-    # Defensive mixture: (1-lambda) importance + lambda base-measure
-    # (edge-length) mass, normalized per lane — see DEFENSIVE_LAMBDA.
-    base = vm.safe_div(wclu, jnp.sum(wclu))[None, :]  # (1, C)
-    score = (
-        (1.0 - DEFENSIVE_LAMBDA)
-        * vm.safe_div(imp, jnp.sum(imp, axis=-1, keepdims=True))
-        + DEFENSIVE_LAMBDA * base
-    )
+        horiz = jnp.abs(vm.dot(cdirn, n_sg[:, None, :])) + 0.1
+    geom = (wclu[None, :] * horiz
+            / jnp.maximum(cdist2, radii[None, :] ** 2))  # (P, C)
+    # Two-component NORMALIZED proposal mixture: a directional component
+    # peaked at the NEE / mirror directions (shadow + reflection
+    # discontinuities) and a generic component = plain subtended-geometry
+    # mass (horizon-weighted 1/dist^2) covering radiance jumps from any
+    # direction (object-vs-background silhouettes — the dominant tail
+    # source found by tools/probe_tail.py).  Normalizing each component
+    # per lane FIXES each family's share of the draw: an unnormalized
+    # floor (the r4 scheme) let the generic mass dilute the NEE-critical
+    # clusters at real-asset scale (measured: bench-scale per-seed std
+    # 3.3 -> 16.0 at floor 0.05), while un-weighted edge-length defensive
+    # mass over-proposed far clusters (std 4.8-5.4).  The reference
+    # hedges its strategies the same way, with a 0.5/0.5 pmf split
+    # (src/edge.cpp:1458-1467).
+    imp_dir = geom * ck_dir
+    score = GENERIC_MIX_LAMBDA * vm.safe_div(
+        geom, jnp.sum(geom, axis=-1, keepdims=True))
+    if nee_dir is not None or specular_dir is not None:
+        dir_sum = jnp.sum(imp_dir, axis=-1, keepdims=True)
+        has_dir = dir_sum > 0
+        score = jnp.where(
+            has_dir,
+            (1.0 - GENERIC_MIX_LAMBDA) * vm.safe_div(imp_dir, dir_sum)
+            + score,
+            vm.safe_div(geom, jnp.sum(geom, axis=-1, keepdims=True)),
+        )
     score_sum = jnp.sum(score, axis=-1)  # (P,) == ~1 (lanes w/ mass)
     c_cdf = jnp.cumsum(score, axis=-1)
     C = score.shape[-1]

@@ -144,3 +144,44 @@ def test_sh_basis_orthonormal_and_matches_l2():
     vals = np.asarray(sh_eval(jnp.asarray(c), jnp.asarray(d)), np.float64)
     coeff = (vals * w * B[:, 12]).sum()
     assert abs(coeff - 1.0) < 2e-3
+
+
+def test_geometry_image_reference_contract():
+    """generate_geometry_image matches the reference's exact output
+    contract (pyredner/geometry_images.py:7-164), verified bit-for-bit
+    against the reference implementation executed side by side (r5) and
+    pinned here by fingerprints: doubled grid (2*size+1)^2, octahedron
+    layout (corners -> +z pole, center -> -z), spherical lat-long uvs of
+    the pre-normalization point, per-quadrant diagonals, border wrap
+    rule — including the reference's corner quirk (4 unpaired border
+    edges; V-E+F = 1, not a watertight 2)."""
+    import numpy as np
+
+    from redner_tpu.geometry_images import generate_geometry_image
+
+    fp = {2: (1052, 28.249998, [0, 5, 1], [19, 21, 0]),
+          3: (4856, 54.250004, [0, 7, 1], [41, 43, 0]),
+          8: (215036, 304.25, [0, 17, 1], [271, 273, 0])}
+    for size, (isum, usum, first, last) in fp.items():
+        v, i, u = generate_geometry_image(size)
+        v, i, u = np.asarray(v), np.asarray(i), np.asarray(u)
+        n = 2 * size + 1
+        assert v.shape == (n * n, 3) and i.shape == (2 * (n - 1) ** 2, 3)
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0,
+                                   atol=1e-6)
+        assert (u >= 0).all() and (u <= 1).all()
+        assert int(i.sum()) == isum
+        np.testing.assert_allclose(float(u.sum()), usum, atol=1e-4)
+        assert i[0].tolist() == first and i[-1].tolist() == last
+    # topology: the wrap rule pairs all border edges except the
+    # reference's 4 corner-seam edges
+    v, i, u = generate_geometry_image(8)
+    i = np.asarray(i)
+    edges = {}
+    for tri in i:
+        for k in range(3):
+            e = tuple(sorted((int(tri[k]), int(tri[(k + 1) % 3]))))
+            edges[e] = edges.get(e, 0) + 1
+    counts = np.array(list(edges.values()))
+    assert (counts <= 2).all()
+    assert int((counts == 1).sum()) == 4

@@ -5,8 +5,13 @@ down for CPU CI)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import redner_tpu as rt
+
+# multi-minute FD ladders / subprocess meshes: excluded from the fast
+# lane (pytest -m 'not slow'); the full suite still runs them.
+pytestmark = pytest.mark.slow
 
 
 def cornell_box(res=(16, 16)):

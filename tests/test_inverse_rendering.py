@@ -12,6 +12,10 @@ import pytest
 import redner_tpu as rt
 from tests.scene_util import single_triangle_scene
 
+# multi-minute FD ladders / subprocess meshes: excluded from the fast
+# lane (pytest -m 'not slow'); the full suite still runs them.
+pytestmark = pytest.mark.slow
+
 
 def _quad_scene(mat, res=(16, 16), colors=None):
     cam = rt.make_camera(position=[0., 0., -3.], look_at=[0., 0., 0.],

@@ -9,9 +9,14 @@ configured).
 """
 
 import json
+import pytest
 import os
 import subprocess
 import sys
+
+# multi-minute FD ladders / subprocess meshes: excluded from the fast
+# lane (pytest -m 'not slow'); the full suite still runs them.
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

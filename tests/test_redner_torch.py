@@ -219,7 +219,8 @@ def test_sh_and_geometry_image_utilities():
                                rtol=1e-5)
     img = rtt.SH_reconstruct(torch.rand(9, 3), (8, 16))
     assert img.shape == (16, 8, 3) and bool(torch.isfinite(img).all())
-    v, i, uvs = rtt.generate_geometry_image(4)
+    # reference contract: size doubles internally -> (2*size+1)^2 verts
+    v, i, uvs = rtt.generate_geometry_image(2)
     assert v.shape == (25, 3) and i.shape == (32, 3) and uvs.shape == (25, 2)
     # Exercise the global toggles, restoring them (correlated replay is a
     # process-wide default other tests rely on).

@@ -24,6 +24,10 @@ import pytest
 
 import redner_tpu as rt
 
+# multi-minute FD ladders / subprocess meshes: excluded from the fast
+# lane (pytest -m 'not slow'); the full suite still runs them.
+pytestmark = pytest.mark.slow
+
 RES = (24, 24)
 SPP = 16
 
