@@ -252,7 +252,27 @@ def build_edge_table(fs: FlatScene) -> EdgeTable:
     prior = jnp.where(
         flag == 2.0, 1.0, jnp.where(flag == 1.0, dih / jnp.pi, 0.0)
     )
-    w_e = length * prior  # (E,)
+    # Emission boost: the radiance jump across a LIGHT-RIM edge is the
+    # emission itself (luminance ~60 at the bench light) while generic
+    # silhouettes jump by surface radiance ~O(1); a target blind to that
+    # amplitude underweights rim candidates ~60x and the RIS factor
+    # spikes when one is picked (tools/probe_tail.py: rim rows at
+    # ris 488-1745, |jump| 60-75).  Scale BOTH the proposal mass (via
+    # w_e -> cluster weights) and the RIS target (slot_packed col 14) by
+    # 1 + rim luminance, keeping contribution/target bounded.
+    if fs.num_area_lights > 0 and EMISSION_BOOST:
+        F = fs.num_triangles
+        lid0 = fs.face_light_id[jnp.clip(edges.f0, 0, F - 1)]
+        lid1 = jnp.where(
+            edges.f1 >= 0,
+            fs.face_light_id[jnp.clip(edges.f1, 0, F - 1)], -1)
+        lid = jnp.maximum(jnp.where(edges.f0 >= 0, lid0, -1), lid1)
+        lum = vm.luminance(
+            fs.light_intensity[jnp.clip(lid, 0, fs.num_area_lights - 1)])
+        boost = jnp.where(lid >= 0, 1.0 + lum, 1.0).astype(a.dtype)
+    else:
+        boost = jnp.ones((E,), a.dtype)
+    w_e = length * prior * boost  # (E,)
 
     lo = jnp.min(mid, axis=0)
     hi = jnp.max(mid, axis=0)
@@ -294,11 +314,13 @@ def build_edge_table(fs: FlatScene) -> EdgeTable:
         )
     )
     eid_col = jnp.where(slot_valid, order_c, -1).astype(a.dtype)
+    boost_col = jnp.where(slot_valid, boost[order_c], 1.0)
     slot_packed = jnp.concatenate(
         [
             jnp.where(slot_valid[..., None], packed[order_c][..., :13], 0.0),
             eid_col[..., None],
-            jnp.zeros((C, S, 2), a.dtype),
+            boost_col[..., None],
+            jnp.zeros((C, S, 1), a.dtype),
         ],
         axis=-1,
     )
@@ -821,6 +843,9 @@ DEFENSIVE_LAMBDA = 0.0
 # mixture; the remaining share goes to the NEE/mirror-directed
 # component.  See the mixture comment in secondary_edge_surrogate.
 GENERIC_MIX_LAMBDA = 0.33
+# Scale proposal mass + RIS target of light-rim edges by their emission
+# luminance (the amplitude of their radiance jump) — see build_edge_table.
+EMISSION_BOOST = True
 # Fold |d omega/dt| into the t-candidate RIS target (cancels the
 # near-edge 1/dist speed spike — see the comment at the use site).
 # Toggleable for A/B variance measurement only; keep True.
@@ -1033,6 +1058,7 @@ def secondary_edge_surrogate(
     n1 = rows[..., 9:12]
     flag = rows[..., 12]
     eid = rows[..., 13].astype(jnp.int32)  # exact: E < 2^24
+    boost = rows[..., 14]  # emission amplitude of the edge's jump
     cand_live = eid >= 0
     cand = jnp.clip(eid, 0, E - 1)  # (P, M)
     # Silhouette w.r.t. each shading point (src/edge.h:156-229): boundary
@@ -1094,7 +1120,8 @@ def secondary_edge_surrogate(
     da = vm.distance_squared(sg(a), p_sg[:, None, :])
     db = vm.distance_squared(sg(b), p_sg[:, None, :])
     w_cand = jnp.where(
-        sil & cand_live & (da > 1e-8) & (db > 1e-8), arc * kernel, 0.0
+        sil & cand_live & (da > 1e-8) & (db > 1e-8),
+        arc * kernel * boost, 0.0
     )  # (P, M)
 
     # RIS resampling weights m_i = target(x_i) / proposal(x_i): the

@@ -67,7 +67,7 @@ class RenderOptions:
         max_generic_texture_dimension: int = 16,
         remat: bool = False,
         split_shadow_sweep: bool = True,
-        isect_replay_max_mb: float = 256.0,
+        isect_replay_max_mb: float = 0.0,
     ):
         # (forward, backward) sample counts, reference-style: an int means
         # both passes use it (pyredner num_samples tuple semantics).
@@ -108,10 +108,14 @@ class RenderOptions:
         # reuse the forward's sweep results instead of re-intersecting, at
         # the cost of holding O(pixels x spp x bounces) int32 residuals in
         # HBM across fwd->bwd.  When the estimated record footprint exceeds
-        # this cap (or the cap is <= 0), the backward falls back to live
-        # re-intersection.  256 MB covers the bench configs (~20 MB) with
-        # room while keeping 512x512x64spp x4-bounce jobs (~1 GB of
-        # records) on the live path.
+        # this cap (or the cap is <= 0), the backward runs live
+        # re-intersection.  Default 0 = OFF: measured at the teapot bench
+        # (r5, tools/bench_replay.py) replay made the edge-sampled
+        # backward SLOWER (690.6 -> 727.9 ms) — materializing the records
+        # across the fwd->bwd boundary costs more than the skipped sweeps
+        # save at 15.7k tris.  Opt in (e.g. 256.0) for tri-heavy scenes
+        # where sweeps dominate; bit-exactness is pinned by
+        # tests/test_isect_replay.py either way.
         self.isect_replay_max_mb = float(isect_replay_max_mb)
         # Immutable from here on: options key jit caches (render_grad
         # caches executables per options value), so post-hoc mutation

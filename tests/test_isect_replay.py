@@ -63,13 +63,15 @@ def test_collect_and_replay_bit_exact():
 
 
 def test_render_gradient_unchanged_by_replay():
-    """rt.render (replay ON by default with correlated RNG) must produce
-    the same gradients as the decorrelation-disabled live path computed
-    via the plain AD composition."""
+    """rt.render with replay opted in (isect_replay_max_mb > 0; the
+    default is OFF — measured slower at bench scale, see RenderOptions)
+    must produce finite, signal-carrying gradients identical in
+    structure to the live path."""
     scene = shadow_scene(res=(16, 16))
+    opts_on = _OPTS._copy_with(isect_replay_max_mb=256.0)
 
     def loss(s):
-        return jnp.sum(rt.render(s, _OPTS, seed=3))
+        return jnp.sum(rt.render(s, opts_on, seed=3))
 
     g = jax.grad(loss, allow_int=True)(scene)
     for leaf in jax.tree_util.tree_leaves(g):
@@ -77,3 +79,12 @@ def test_render_gradient_unchanged_by_replay():
             assert bool(jnp.isfinite(leaf).all())
     # the blocker translation gradient must carry signal
     assert float(jnp.abs(g.shapes[1].vertices).sum()) > 0
+    # replay substitutes bitwise-identical sweep results, so the gradient
+    # must match the live (default) path to float tolerance
+    g_live = jax.grad(lambda s: jnp.sum(rt.render(s, _OPTS, seed=3)),
+                      allow_int=True)(scene)
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_live)):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)

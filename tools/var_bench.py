@@ -39,14 +39,21 @@ from bench import teapot_scene  # noqa: E402
 
 # estimator knobs for A/B sweeps
 em.DEFENSIVE_LAMBDA = _arg("--lam", em.DEFENSIVE_LAMBDA, float)
+em.GENERIC_MIX_LAMBDA = _arg("--gmix", em.GENERIC_MIX_LAMBDA, float)
 em.T_SPEED_TARGET = "--no-speed" not in sys.argv
+em.EMISSION_BOOST = "--no-boost" not in sys.argv
 em.RESAMPLE_M = _arg("--M", em.RESAMPLE_M, int)
 em.NEE_FLOOR = _arg("--floor", em.NEE_FLOOR, float)
-print(f"knobs: lam={em.DEFENSIVE_LAMBDA} speed={em.T_SPEED_TARGET} "
+print(f"knobs: lam={em.DEFENSIVE_LAMBDA} gmix={em.GENERIC_MIX_LAMBDA} "
+      f"speed={em.T_SPEED_TARGET} boost={em.EMISSION_BOOST} "
       f"M={em.RESAMPLE_M} floor={em.NEE_FLOOR}", flush=True)
 
 _scene = teapot_scene(res=(RES, RES))
-_opts = rt.RenderOptions(num_samples=SPP, max_bounces=1)
+_opts = rt.RenderOptions(
+    num_samples=SPP, max_bounces=1,
+    use_secondary_edge_sampling="--no-secondary" not in sys.argv,
+    use_primary_edge_sampling="--no-primary" not in sys.argv,
+)
 
 
 def loss(tx, seed):
@@ -78,6 +85,9 @@ def main():
     )
     q = np.quantile(np.abs(gs - gs.mean()), [0.5, 0.9, 1.0])
     print(f"|dev| quantiles p50 {q[0]:.3f} p90 {q[1]:.3f} max {q[2]:.3f}")
+    if "--per-seed" in sys.argv:
+        for s, g in enumerate(gs):
+            print(f"  seed {s:3d}: {g:+.3f}")
 
 
 if __name__ == "__main__":
