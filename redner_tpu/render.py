@@ -819,15 +819,25 @@ def _secondary_edge_term(fs, options, seed, lane_ids, sample_id, bounce,
     # Glossy importance: a mirror-reflection lobe steers the RIS kernel so
     # specular receivers sample the edges their lobe can see (the
     # reference's LTC-component selection role, src/edge.cpp:1403-1448).
+    # The kernel must match the TRUE lobe in BOTH width and amplitude:
+    # r5 tail analysis found single-lane |w| ~ 1e3 spikes from glossy
+    # shading points whose mirror lobe sees a light edge — the Blinn
+    # lobe peaks at ~1/(pi alpha^2) (~127 at the bench's 0.05
+    # roughness) while the old kernel capped the specular component at
+    # 1 and spread it over sigma = sqrt(alpha) (4.5x the lobe width), so
+    # contribution/target hit ~1e3-1e4 and the RIS factor exploded on
+    # the rare pick.  Width = alpha (the lobe's angular scale); relative
+    # amplitude = specular-to-diffuse PEAK ratio, in units where the
+    # diffuse-family kernel is O(1).
     _, _, pn = perturb_shading_frame(lm, sp)
     refl = sgd(2.0 * vm.vdot(wi, pn) * pn - wi)
-    spec_sigma = sgd(jnp.clip(
-        jnp.sqrt(jnp.maximum(lm.roughness, 1e-6)), 0.03, 1.0
-    ))
+    alpha = jnp.clip(jnp.maximum(lm.roughness, 1e-6), 0.03, 1.0)
+    spec_sigma = sgd(alpha)
     lum = jnp.asarray([0.2126, 0.7152, 0.0722])
     l_spec = jnp.sum(lm.specular * lum, axis=-1)
     l_diff = jnp.sum(lm.diffuse * lum, axis=-1)
-    spec_weight = sgd(l_spec / jnp.maximum(l_spec + l_diff, 1e-8))
+    spec_weight = sgd(
+        l_spec / (alpha * alpha * jnp.maximum(l_diff, 1e-2)))
 
     # Reference variance control: paths already diffuse-ized by a rough
     # bounce skip secondary edge sampling (src/edge.cpp:1396-1401).
