@@ -842,10 +842,23 @@ DEFENSIVE_LAMBDA = 0.0
 # 1/dist^2 geometry) component of the normalized two-component proposal
 # mixture; the remaining share goes to the NEE/mirror-directed
 # component.  See the mixture comment in secondary_edge_surrogate.
-GENERIC_MIX_LAMBDA = 0.33
+# Swept on the teapot-shadow FD scene (tools/teapot_fd.py, 32 seeds):
+# grad/FD ratio 0.515 at 0.33 (the generic share starves the shadow
+# family on shadow-pure scenes), 0.807 at 0.2, 0.829 at 0.1 — 0.2
+# keeps real generic-tail protection at bench scale at an acceptable
+# shadow-scene dilution.
+GENERIC_MIX_LAMBDA = 0.2
 # Scale proposal mass + RIS target of light-rim edges by their emission
-# luminance (the amplitude of their radiance jump) — see build_edge_table.
-EMISSION_BOOST = True
+# luminance (the amplitude of their radiance jump).  MEASURED OFF (r5):
+# bench-scale 64-seed std 149.3 with vs 125.0 without (the boost diverts
+# proposal/target mass to the handful of rim edges and starves occluder
+# silhouettes — the rim term is already kernel-covered since the NEE
+# direction points at the light); at toy-ladder scale a 30x boost
+# starves the blocker family outright.
+EMISSION_BOOST = False
+# Firefly clamp multiple on the trimmed (bottom-99%) mean |w| of live
+# lanes (see the use site); 0 disables (exactly unbiased estimator).
+SECONDARY_CLAMP_K = 500.0
 # Fold |d omega/dt| into the t-candidate RIS target (cancels the
 # near-edge 1/dist speed spike — see the comment at the use site).
 # Toggleable for A/B variance measurement only; keep True.
@@ -1313,6 +1326,44 @@ def secondary_edge_surrogate(
     live = active & has_cand
     w_ab = sg(jnp.where(live, w_full, 0.0))
     w_p = sg(jnp.where(live, w_p, 0.0))
+
+    # Firefly clamp (the VERDICT r4 "contribution clamping" lever): the
+    # RIS target cannot distinguish zero-jump from real-jump generic
+    # silhouettes, so a rare candidate with floor-level target but real
+    # contribution carries weight ~ Omega_hat/w_pick ~ 1e3 while its
+    # TRUE integral share is ~0.1 (probe_tail, seed-41 monster: w=305,
+    # C=0.13; per-seed gradient estimates of +-1100 from ONE lane).
+    # Clamp per-lane weights at CLAMP_K x the live p99 of |w|: the
+    # population scale adapts per scene/pass, the clamped mass is the
+    # spike's INFLATED share (its true share stays ~fully counted at
+    # tau >> C), and the bias is bounded by the true mass above tau —
+    # validated against FD ladders, the quadrature suite, and the
+    # analytic occluder oracle.  Set SECONDARY_CLAMP_K = 0 to disable
+    # (exactly unbiased mode).
+    if SECONDARY_CLAMP_K > 0:
+        # The per-lane GRADIENT magnitude is ~ |w| / dist (both surrogate
+        # branches differentiate normalize(x_edge - p), whose Jacobian
+        # scales as 1/dist), so a lane whose picked edge point sits very
+        # close to the shading point can carry a moderate |w| but an
+        # exploding derivative — clamping |w| alone never catches it
+        # (measured: trimmed-mean |w| clamps left the seed-41 monster
+        # untouched).  Clamp the gradient-scale proxy z = |w|/dist at
+        # CLAMP_K x the trimmed (bottom-99%) live mean of z, scaling w
+        # down by min(1, tau/z); quantile-based taus do NOT work here —
+        # the z distribution's top lanes carry half its mass.
+        z = jnp.where(live, jnp.abs(w_ab) / jnp.maximum(dist, 1e-6), 0.0)
+        srt = jnp.sort(z)
+        # population = lanes whose pair actually straddles (z > 0) —
+        # most live lanes see no jump and would collapse the scale
+        n_nz = jnp.maximum(jnp.sum((z > 0).astype(jnp.int32)), 1)
+        idx = jnp.clip(P - 1 - (n_nz + 99) // 100, 0, P - 1)
+        below = jnp.where(jnp.arange(P) <= idx, srt, 0.0)
+        robust_mean = jnp.sum(below) / jnp.maximum(
+            0.99 * n_nz.astype(z.dtype), 1.0)
+        tau = SECONDARY_CLAMP_K * jnp.maximum(robust_mean, 1e-12)
+        scale = jnp.minimum(1.0, tau / jnp.maximum(z, 1e-30))
+        w_ab = w_ab * scale
+        w_p = w_p * scale
 
     if _TAIL_DEBUG:
         # Host-side capture of the estimator decomposition for tail

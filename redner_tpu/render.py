@@ -797,6 +797,13 @@ def trace_radiance(
     return out
 
 
+# Cap on the mirror-lobe RIS kernel's relative amplitude (see
+# _secondary_edge_term): high enough to cover measured glossy spikes
+# (probe rows at kern ~42), low enough to leave the shadow family
+# proposal mass on glossy-over-dark materials.
+SPEC_KERNEL_CAP = 64.0
+
+
 def _secondary_edge_term(fs, options, seed, lane_ids, sample_id, bounce,
                          sp, lm, wi, min_rough, active, throughput,
                          d_pixel, nee_dir, edge_table=None,
@@ -836,8 +843,12 @@ def _secondary_edge_term(fs, options, seed, lane_ids, sample_id, bounce,
     lum = jnp.asarray([0.2126, 0.7152, 0.0722])
     l_spec = jnp.sum(lm.specular * lum, axis=-1)
     l_diff = jnp.sum(lm.diffuse * lum, axis=-1)
-    spec_weight = sgd(
-        l_spec / (alpha * alpha * jnp.maximum(l_diff, 1e-2)))
+    # Capped: the raw peak ratio reaches ~3000 at roughness 0.05 over a
+    # dark diffuse base, which starves the NEE/shadow family of target
+    # mass entirely (glossy toy ladder err 8.5% -> 79% uncapped).
+    spec_weight = sgd(jnp.minimum(
+        l_spec / (alpha * alpha * jnp.maximum(l_diff, 1e-2)),
+        SPEC_KERNEL_CAP))
 
     # Reference variance control: paths already diffuse-ized by a rough
     # bounce skip secondary edge sampling (src/edge.cpp:1396-1401).

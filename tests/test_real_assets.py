@@ -178,9 +178,12 @@ def test_teapot_scale_shadow_gradient_matches_fd():
     # The FD must carry real signal (the shadow darkening is visible).
     assert abs(fds.mean()) > 3 * fd_se, (fds.mean(), fd_se)
     diff = abs(gs.mean() - fds.mean())
-    # r4 (VERDICT ask 9): seeds doubled (24/12 -> 48/24, still one
-    # vmapped call each), bands cut 0.5->0.35 and 2.5 -> 2 sigma.
-    tol = max(0.35 * abs(fds.mean()),
+    # r5 (VERDICT r4 item 1): relative band tightened 0.35 -> 0.15 after
+    # the estimator variance work (speed-aware t target, normalized
+    # proposal mixture at GENERIC_MIX_LAMBDA=0.2, z=|w|/dist firefly
+    # clamp); the 2-sigma floor covers the remaining MC noise at this
+    # seed budget.
+    tol = max(0.15 * abs(fds.mean()),
               2.0 * float(np.hypot(g_se, fd_se)))
     # Structural failures measure ratio ~0.01-0.2 here and fail hard;
     # MC noise at this budget stays well inside.

@@ -26,6 +26,18 @@ import redner_tpu as rt
 import redner_tpu.edge as edge_mod
 import redner_tpu.render_grad as rg
 
+# strip value-taking flags BEFORE the positional parse (their values
+# would otherwise be misread as the positional M; --seeds 32 silently
+# set RESAMPLE_M=32 before this fix — a no-op only by coincidence)
+N_SEEDS = 16
+if "--gmix" in sys.argv:
+    _i = sys.argv.index("--gmix")
+    edge_mod.GENERIC_MIX_LAMBDA = float(sys.argv[_i + 1])
+    del sys.argv[_i : _i + 2]
+if "--seeds" in sys.argv:
+    _i = sys.argv.index("--seeds")
+    N_SEEDS = int(sys.argv[_i + 1])
+    del sys.argv[_i : _i + 2]
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 if len(args) >= 1:
     edge_mod.RESAMPLE_M = int(args[0])
@@ -34,9 +46,6 @@ if len(args) >= 2:
     edge_mod._num_clusters = lambda E, c=_c: max(1, min(c, E))
 if len(args) >= 3:
     edge_mod.NEE_SIGMA = float(args[2])
-N_SEEDS = 16
-if "--seeds" in sys.argv:
-    N_SEEDS = int(sys.argv[sys.argv.index("--seeds") + 1])
 rg._render_cache.clear()
 
 RES = (24, 24)

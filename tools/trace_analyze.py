@@ -65,7 +65,7 @@ jax.profiler.stop_trace()
 
 pbs = glob.glob(f"{tdir}/**/*.xplane.pb", recursive=True)
 print("xplane:", pbs)
-from tensorflow.core.profiler.protobuf import xplane_pb2  # noqa: E402
+from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E402
 
 xs = xplane_pb2.XSpace()
 with open(pbs[0], "rb") as f:

@@ -44,6 +44,7 @@ em.T_SPEED_TARGET = "--no-speed" not in sys.argv
 em.EMISSION_BOOST = "--no-boost" not in sys.argv
 em.RESAMPLE_M = _arg("--M", em.RESAMPLE_M, int)
 em.NEE_FLOOR = _arg("--floor", em.NEE_FLOOR, float)
+em.SECONDARY_CLAMP_K = _arg("--clampk", em.SECONDARY_CLAMP_K, float)
 print(f"knobs: lam={em.DEFENSIVE_LAMBDA} gmix={em.GENERIC_MIX_LAMBDA} "
       f"speed={em.T_SPEED_TARGET} boost={em.EMISSION_BOOST} "
       f"M={em.RESAMPLE_M} floor={em.NEE_FLOOR}", flush=True)
@@ -67,6 +68,36 @@ def loss(tx, seed):
 
 
 def main():
+    if "--fd" in sys.argv:
+        # Matched-seed central finite difference of the plain forward
+        # (edges OFF — visibility changes enter through the MC average
+        # over seeds) = the ground-truth gradient mean.
+        eps = _arg("--eps", 2.0, float)
+        opts_fd = rt.RenderOptions(num_samples=SPP, max_bounces=1,
+                                   use_primary_edge_sampling=False,
+                                   use_secondary_edge_sampling=False)
+        def lfd(tx, seed):
+            sh = tuple(
+                s.replace(vertices=s.vertices
+                          + jnp.stack([tx, jnp.asarray(0.0),
+                                       jnp.asarray(0.0)]))
+                if i < len(_scene.shapes) - 1 else s
+                for i, s in enumerate(_scene.shapes))
+            return jnp.sum(rt.render(_scene.replace(shapes=sh), opts_fd,
+                                     seed=seed))
+        f = jax.jit(lfd)
+        t0 = time.time()
+        float(np.asarray(f(jnp.asarray(eps), jnp.uint32(0))))
+        print(f"fd compile {time.time()-t0:.0f}s", flush=True)
+        vals = []
+        for s in range(N_SEEDS):
+            vp = float(np.asarray(f(jnp.asarray(eps), jnp.uint32(s))))
+            vm_ = float(np.asarray(f(jnp.asarray(-eps), jnp.uint32(s))))
+            vals.append((vp - vm_) / (2 * eps))
+        vals = np.array(vals)
+        print(f"FD(eps={eps}) over {N_SEEDS} seeds: mean {vals.mean():+.4f} "
+              f"std {vals.std():.4f} se {vals.std()/np.sqrt(N_SEEDS):.4f}")
+        return
     gfn = jax.jit(lambda seed: jax.grad(loss)(jnp.asarray(0.0), seed))
     t0 = time.time()
     g0 = float(np.asarray(gfn(jnp.uint32(0))))
