@@ -826,18 +826,6 @@ def primary_edge_screen_gradient_image(
 NEE_SIGMA = 0.15
 NEE_FLOOR = 0.01
 T_CANDIDATES = 8
-# Defensive share of the cluster-level candidate draw: this fraction of
-# each draw's probability mass is distributed proportional to the plain
-# cluster edge-length weight (the base measure) regardless of the
-# directional importance, bounding 1/q for every silhouette candidate.
-# MEASURED OFF (r5): at the teapot bench (256x256, 16 seeds, TPU) the
-# per-seed gradient std went 3.19 (lam=0) -> 4.76 (0.05) -> 5.43 (0.1):
-# edge-length mass proposes far silhouettes whose RIS target still
-# underestimates their generic radiance jump, converting the narrow
-# proposal's hidden tail mass into visible spikes without taming them.
-# The effective defensive lever is the direction-space kernel floor
-# (NEE_FLOOR x horizon, swept at bench scale) — see tools/probe_tail.py.
-DEFENSIVE_LAMBDA = 0.0
 # Share of the cluster draw given to the GENERIC (horizon-weighted
 # 1/dist^2 geometry) component of the normalized two-component proposal
 # mixture; the remaining share goes to the NEE/mirror-directed

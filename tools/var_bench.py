@@ -38,14 +38,13 @@ import redner_tpu.edge as em  # noqa: E402
 from bench import teapot_scene  # noqa: E402
 
 # estimator knobs for A/B sweeps
-em.DEFENSIVE_LAMBDA = _arg("--lam", em.DEFENSIVE_LAMBDA, float)
 em.GENERIC_MIX_LAMBDA = _arg("--gmix", em.GENERIC_MIX_LAMBDA, float)
 em.T_SPEED_TARGET = "--no-speed" not in sys.argv
 em.EMISSION_BOOST = "--no-boost" not in sys.argv
 em.RESAMPLE_M = _arg("--M", em.RESAMPLE_M, int)
 em.NEE_FLOOR = _arg("--floor", em.NEE_FLOOR, float)
 em.SECONDARY_CLAMP_K = _arg("--clampk", em.SECONDARY_CLAMP_K, float)
-print(f"knobs: lam={em.DEFENSIVE_LAMBDA} gmix={em.GENERIC_MIX_LAMBDA} "
+print(f"knobs: gmix={em.GENERIC_MIX_LAMBDA} "
       f"speed={em.T_SPEED_TARGET} boost={em.EMISSION_BOOST} "
       f"M={em.RESAMPLE_M} floor={em.NEE_FLOOR}", flush=True)
 
