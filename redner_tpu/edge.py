@@ -847,10 +847,13 @@ EMISSION_BOOST = False
 # Firefly clamp multiple on the winsorized mean of the gradient proxy
 # z = |w|/dist over straddling lanes (see the use site); 0 disables
 # (exactly unbiased estimator).  Calibrated at the bench config: the
-# sort-based trimmed mean at K=500 gave std 40.1; the winsorized mean
-# runs ~2x higher, so K=250 restores the operating point (measured
-# std 32.2 / worst dev 206 at 64 seeds — 5.7x below the r4 baseline).
-SECONDARY_CLAMP_K = 250.0
+# K sweep at the bench config (64 seeds): std 32.2 at 250, 18.3 at
+# 100, 9.4 at 50 (19x below the r4 baseline 182.6) with the mean
+# pinned to the FD truth (-3.15 vs -3.11 +- 0.34) — and the toy
+# ladders stay bit-identical (inert clamp).  K=25 starts biting real
+# mass (bench mean drifts to -2.53, teapot-FD ratio declines), so 50
+# is the measured knee.
+SECONDARY_CLAMP_K = 50.0
 # Fold |d omega/dt| into the t-candidate RIS target (cancels the
 # near-edge 1/dist speed spike — see the comment at the use site).
 # Toggleable for A/B variance measurement only; keep True.

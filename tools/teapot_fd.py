@@ -30,6 +30,10 @@ import redner_tpu.render_grad as rg
 # would otherwise be misread as the positional M; --seeds 32 silently
 # set RESAMPLE_M=32 before this fix — a no-op only by coincidence)
 N_SEEDS = 16
+if "--clampk" in sys.argv:
+    _i = sys.argv.index("--clampk")
+    edge_mod.SECONDARY_CLAMP_K = float(sys.argv[_i + 1])
+    del sys.argv[_i : _i + 2]
 if "--gmix" in sys.argv:
     _i = sys.argv.index("--gmix")
     edge_mod.GENERIC_MIX_LAMBDA = float(sys.argv[_i + 1])
