@@ -95,3 +95,44 @@ def test_smooth_integration_beats_hash(pair):
 
     m_s, m_h = mse("sobol"), mse("hash")
     assert m_s < 0.5 * m_h, (pair, m_s, m_h)
+
+
+def test_sobol_reduces_render_variance():
+    """End-to-end: Owen-scrambled Sobol must lower the across-seed pixel
+    variance of a real render vs the decorrelated hash at equal spp (the
+    sampler feeds camera-jitter, NEE, and BSDF dims through the stage
+    schedule — this is the render-level half of VERDICT r4 item 6)."""
+    import redner_tpu as rt
+    from redner_tpu.sampler import SamplerType
+
+    cam = rt.make_camera(position=[0.0, 1.5, -4.0], look_at=[0.0, 0.0, 0.0],
+                         up=[0.0, 1.0, 0.0], fov=45.0, resolution=(16, 16))
+    floor = rt.make_shape(
+        vertices=[[-3.0, 0.0, -3.0], [3.0, 0.0, -3.0],
+                  [-3.0, 0.0, 3.0], [3.0, 0.0, 3.0]],
+        indices=[[0, 2, 1], [1, 2, 3]], material_id=0)
+    light = rt.make_shape(
+        vertices=[[-0.6, 2.5, -0.4], [0.6, 2.5, -0.4],
+                  [-0.6, 2.5, 0.8], [0.6, 2.5, 0.8]],
+        indices=[[0, 1, 2], [1, 3, 2]], material_id=0, light_id=0)
+    scene = rt.make_scene(
+        cam, [floor, light],
+        [rt.make_material(diffuse_reflectance=[0.6, 0.5, 0.4])],
+        area_lights=[rt.make_area_light(1, [12.0, 12.0, 12.0])])
+
+    def var_of(sampler_type, seeds=12):
+        opts = rt.RenderOptions(num_samples=16, max_bounces=1,
+                                sampler_type=sampler_type,
+                                use_primary_edge_sampling=False,
+                                use_secondary_edge_sampling=False)
+        imgs = np.stack([
+            np.asarray(rt.render_image(scene, opts, seed=s))[..., :3]
+            for s in range(seeds)
+        ])
+        return float(imgs.var(axis=0).mean())
+
+    v_sobol = var_of(SamplerType.sobol)
+    v_hash = var_of(SamplerType.independent)
+    # QMC stratification across the 16 samples/pixel must pay on the
+    # smooth direct-lighting integrand (typically 2-4x here)
+    assert v_sobol < 0.75 * v_hash, (v_sobol, v_hash)
