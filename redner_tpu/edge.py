@@ -844,6 +844,11 @@ GENERIC_MIX_LAMBDA = 0.2
 # direction points at the light); at toy-ladder scale a 30x boost
 # starves the blocker family outright.
 EMISSION_BOOST = False
+# Systematic (across-lane stratified) RIS selection — measured NEUTRAL
+# TO SLIGHTLY WORSE at the bench config (64-seed std 11.7 vs 9.4 off;
+# same-sign lane contributions gain covariance under the shared shift).
+# Kept for A/B only; leave False.
+STRAT_SEL = False
 # Firefly clamp multiple on the winsorized mean of the gradient proxy
 # z = |w|/dist over straddling lanes (see the use site); 0 disables
 # (exactly unbiased estimator).  Calibrated at the bench config: the
@@ -1149,7 +1154,16 @@ def secondary_edge_surrogate(
     )
     # Resample one candidate proportional to m_w.
     cdf = jnp.cumsum(m_w, axis=-1)
-    u_sel = u_qmc[:, 0]
+    if STRAT_SEL:
+        # Systematic selection across the lane axis: every lane keeps a
+        # uniform marginal (one shared random shift per pass), but the
+        # CDF positions are perfectly stratified over lanes, correlating
+        # the picks so the SUM over lanes (what the loss gradient is)
+        # loses the selection-stage shot noise.  Unbiased per lane.
+        u_sel = jnp.mod(
+            jnp.arange(P, dtype=dtype) / P + u_qmc[0, 0], 1.0)
+    else:
+        u_sel = u_qmc[:, 0]
     pick = jnp.sum(
         (cdf < (u_sel * m_sum)[:, None]).astype(jnp.int32), axis=-1
     )

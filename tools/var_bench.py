@@ -44,6 +44,7 @@ em.EMISSION_BOOST = "--no-boost" not in sys.argv
 em.RESAMPLE_M = _arg("--M", em.RESAMPLE_M, int)
 em.NEE_FLOOR = _arg("--floor", em.NEE_FLOOR, float)
 em.SECONDARY_CLAMP_K = _arg("--clampk", em.SECONDARY_CLAMP_K, float)
+em.STRAT_SEL = "--strat" in sys.argv
 print(f"knobs: gmix={em.GENERIC_MIX_LAMBDA} "
       f"speed={em.T_SPEED_TARGET} boost={em.EMISSION_BOOST} "
       f"M={em.RESAMPLE_M} floor={em.NEE_FLOOR}", flush=True)
