@@ -64,7 +64,10 @@ SECONDARY_EDGE_OFFSET = 1e-5
 # M=16 is measurably noisier (std 0.099).
 RESAMPLE_M = 32
 # Lane cap per chunk of the primary-edge offset-ray evaluation (lax.map).
-EDGE_EVAL_CHUNK = 1 << 16
+# r5 re-sweep on the bench config (AD+primary min-of-3x10): 32k 221.6 /
+# 64k 225.9 / 128k 230.9 ms — smaller chunks keep the backward residual
+# working set resident; 32k is the knee.
+EDGE_EVAL_CHUNK = 1 << 15
 
 
 class EdgeSoA(NamedTuple):
