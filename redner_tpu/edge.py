@@ -873,6 +873,27 @@ _TAIL_DEBUG = False
 _TAIL_RECORDS = []
 
 
+def firefly_scale(z, clamp_k, wins_cap: float = 20.0):
+    """Per-lane down-scaling factors min(1, tau/z) for the firefly clamp.
+
+    tau = clamp_k x a robust population scale of the gradient proxy z
+    over the lanes whose offset pair actually straddles (z > 0; most
+    live lanes see no jump and would collapse the scale).  The scale is
+    a sort-free two-pass WINSORIZED mean (a lane-axis sort is a
+    cross-device permutation under GSPMD — the r4 Morton-sort
+    replication hazard): the plain mean is at most ~2x spike-inflated
+    (the top lanes carry ~half the mass), so re-averaging with z capped
+    at wins_cap x the plain mean recovers the trimmed bottom-99% mean to
+    within a factor ~2, absorbed into the SECONDARY_CLAMP_K calibration.
+    Behavior pinned by tests/test_edge_sampling.py::test_firefly_scale."""
+    dtype = z.dtype
+    n_nz = jnp.maximum(jnp.sum((z > 0).astype(dtype)), 1.0)
+    m1 = jnp.sum(z) / n_nz
+    robust_mean = jnp.sum(jnp.minimum(z, wins_cap * m1)) / n_nz
+    tau = clamp_k * jnp.maximum(robust_mean, 1e-12)
+    return jnp.minimum(1.0, tau / jnp.maximum(z, 1e-30))
+
+
 def secondary_edge_surrogate(
     fs: FlatScene,
     options,
@@ -1345,9 +1366,8 @@ def secondary_edge_surrogate(
     # contribution carries weight ~ Omega_hat/w_pick ~ 1e3 while its
     # TRUE integral share is ~0.1 (probe_tail, seed-41 monster: w=305,
     # C=0.13; per-seed gradient estimates of +-1100 from ONE lane).
-    # Clamp per-lane weights at CLAMP_K x the live p99 of |w|: the
-    # population scale adapts per scene/pass, the clamped mass is the
-    # spike's INFLATED share (its true share stays ~fully counted at
+    # The population scale adapts per scene/pass, the clamped mass is
+    # the spike's INFLATED share (its true share stays ~fully counted at
     # tau >> C), and the bias is bounded by the true mass above tau —
     # validated against FD ladders, the quadrature suite, and the
     # analytic occluder oracle.  Set SECONDARY_CLAMP_K = 0 to disable
@@ -1360,26 +1380,11 @@ def secondary_edge_surrogate(
         # exploding derivative — clamping |w| alone never catches it
         # (measured: trimmed-mean |w| clamps left the seed-41 monster
         # untouched).  Clamp the gradient-scale proxy z = |w|/dist at
-        # CLAMP_K x the trimmed (bottom-99%) live mean of z, scaling w
-        # down by min(1, tau/z); quantile-based taus do NOT work here —
-        # the z distribution's top lanes carry half its mass.
+        # CLAMP_K x a robust population scale, scaling w down by
+        # min(1, tau/z); quantile-based taus do NOT work here — the z
+        # distribution's top lanes carry half its mass.
         z = jnp.where(live, jnp.abs(w_ab) / jnp.maximum(dist, 1e-6), 0.0)
-        # Robust population scale WITHOUT a global sort (a lane-axis sort
-        # is a cross-device permutation under GSPMD — the r4 Morton-sort
-        # replication hazard): two-pass winsorized mean over the lanes
-        # whose pair actually straddles (z > 0; most live lanes see no
-        # jump and would collapse the scale).  The plain mean is at most
-        # ~2x spike-inflated (the top lanes carry ~half the mass), so
-        # re-averaging with z capped at 20x the plain mean recovers the
-        # trimmed bottom-99% mean to within a factor ~2 — absorbed into
-        # the K calibration.
-        nz = z > 0
-        n_nz = jnp.maximum(jnp.sum(nz.astype(z.dtype)), 1.0)
-        m1 = jnp.sum(z) / n_nz
-        cap = 20.0 * m1
-        robust_mean = jnp.sum(jnp.minimum(z, cap)) / n_nz
-        tau = SECONDARY_CLAMP_K * jnp.maximum(robust_mean, 1e-12)
-        scale = jnp.minimum(1.0, tau / jnp.maximum(z, 1e-30))
+        scale = firefly_scale(z, SECONDARY_CLAMP_K)
         w_ab = w_ab * scale
         w_p = w_p * scale
 

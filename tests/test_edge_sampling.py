@@ -355,3 +355,43 @@ def test_panorama_edge_gradient_matches_fd():
         rt.camera_type.panorama,
         [[-1.7, 1.0, 3.0], [1.0, 1.0, 3.0], [-0.5, -1.0, 3.0]],
     )
+
+
+def test_firefly_scale():
+    """The firefly clamp's scale function (edge.firefly_scale): inert on
+    homogeneous populations, suppresses an isolated monster ~1/z, and
+    the robust tau is insensitive to the monster's magnitude (the
+    winsorized mean must not chase the spike it is supposed to cap)."""
+    import numpy as np
+
+    from redner_tpu.edge import firefly_scale
+
+    rng = np.random.default_rng(0)
+    # homogeneous straddle population + many zero (non-straddling) lanes
+    z = np.zeros(4096, np.float32)
+    z[:400] = rng.uniform(0.5, 2.0, 400)
+    s = np.asarray(firefly_scale(jnp.asarray(z), 50.0))
+    assert (s[:400] == 1.0).all()  # tau ~ 50x mean >> max: inert
+
+    # one monster lane: suppressed while the bulk stays at 1.  For a
+    # spike that dominates the mean, tau -> K*wins_cap*z_m/n^2, so the
+    # scale floor is ~ wins_cap*K/n^2 (9e-5 at the bench's ~3300
+    # straddling lanes; 6e-3 at this test's 400).
+    zm = z.copy()
+    zm[0] = 5e4
+    sm = np.asarray(firefly_scale(jnp.asarray(zm), 50.0))
+    assert (sm[1:400] == 1.0).all()
+    floor = 20.0 * 50.0 / 400.0 ** 2
+    assert sm[0] < 2.0 * floor, (sm[0], floor)
+
+    # monotone: a 100x bigger monster is suppressed at least as hard in
+    # RELATIVE terms (the clamp cannot be outrun), and the bulk stays 1
+    zm2 = z.copy()
+    zm2[0] = 5e6
+    sm2 = np.asarray(firefly_scale(jnp.asarray(zm2), 50.0))
+    assert (sm2[1:400] == 1.0).all()
+    assert sm2[0] <= sm[0] * 1.01
+    # disabled mode: K=0 path is handled by the caller (scale unused);
+    # a tiny K clamps even the bulk
+    s_tiny = np.asarray(firefly_scale(jnp.asarray(z), 1e-3))
+    assert (s_tiny[:400] < 1.0).all()
